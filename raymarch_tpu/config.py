@@ -1,0 +1,56 @@
+"""Render configuration.
+
+The reference hard-codes every rendering constant; this frozen dataclass carries
+exactly those defaults as the behavioral spec (see SURVEY.md §5 "Config / flag
+system"). Sources in the reference:
+
+- march limits min_dist=0.01, max_dist=100.0, max_iter=100
+  (src/ray_marching/renderer.rs:130-140)
+- aa_samples=4 => 4x4 = 16 rays/pixel (src/ray_marching/ray_marching.wgsl:34)
+- perspective fovy=pi/4, near=1.0, far=10000.0 (src/ray_marching/renderer.rs:206-207)
+- light at (2,-5,3), ambient floor 0.02, albedo (0.4,0.7,0.1)
+  (src/ray_marching/ray_marching.wgsl:100-105)
+- floor plane y=-1.5, checkerboard base (0.1,0.1,0.2) + 0.2*parity
+  (src/ray_marching/ray_marching.wgsl:119-127)
+- value-stack depth 32 (src/ray_marching/ray_marching.wgsl:173)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Sphere-tracing march limits.
+    min_dist: float = 0.01
+    max_dist: float = 100.0
+    max_iter: int = 100
+
+    # Anti-aliasing: aa_samples x aa_samples sub-pixel grid.
+    aa_samples: int = 4
+
+    # Perspective projection.
+    fovy: float = math.pi / 4
+    near: float = 1.0
+    far: float = 10000.0
+
+    # Shading.
+    light_position: tuple[float, float, float] = (2.0, -5.0, 3.0)
+    ambient: float = 0.02
+    albedo: tuple[float, float, float] = (0.4, 0.7, 0.1)
+
+    # Floor plane (rendered analytically on ray miss).
+    floor_y: float = -1.5
+    floor_base: tuple[float, float, float] = (0.1, 0.1, 0.2)
+    floor_checker: float = 0.2
+
+    # Normal estimation (tetrahedron central differences).
+    normal_eps: float = 1e-4
+
+    # CSG evaluation.
+    stack_depth: int = 32
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,251 @@
+"""Sphere-tracing march, shading, and the full differentiable renderer (jnp).
+
+March semantics match the reference loop (src/ray_marching/ray_marching.wgsl:
+87-115): step each ray by the scene distance until it falls below `min_dist`
+(hit), exceeds `max_dist` (escape), or `max_iter` evaluations elapse. The
+reference breaks per-pixel; on a vector machine we mask — a
+`lax.while_loop` runs while *any* ray in the batch is live, so a batch whose
+rays all resolve early exits early.
+
+Differentiation: `lax.while_loop` is not reverse-differentiable, so the march
+is wrapped in a `custom_vjp` whose backward pass applies the implicit-function
+theorem at the converged hit point: with F(t; o, d, theta) = sdf(o + t*d, theta)
+and F = 0 at the hit,
+
+    dt/dtheta = -F_theta / (grad_x F . d),
+    dt/do     = -grad_x F / (grad_x F . d),
+    dt/dd     = -t * grad_x F / (grad_x F . d).
+
+Miss rays get zero gradient through t (their color depends on o, d only).
+An unrolled `lax.scan` marcher (`mode="unrolled"`) is reverse-differentiable
+natively and cross-checks the implicit VJP in tests.
+
+Shading (wgsl:96-130): tetrahedron-tap normals, Lambertian with the
+reference's fixed light and albedo, analytic checkerboard floor on miss,
+sqrt gamma per AA sample, AA average.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from .raygen import raygen_flat
+from .sdf import make_scene_fn
+from .tape import TapeArrays, TapeSpec
+
+
+# ---------------------------------------------------------------------------
+# March
+# ---------------------------------------------------------------------------
+
+
+def _march_while(scene, origins, dirs, arrays, cfg: RenderConfig):
+    n = origins.shape[0]
+
+    def cond(state):
+        k, _, live, _, _ = state
+        return jnp.logical_and(k < cfg.max_iter, jnp.any(live))
+
+    def body(state):
+        k, t, live, hit, steps = state
+        pos = origins + dirs * t[:, None]
+        dist = scene(pos, arrays)
+        newly_hit = jnp.logical_and(live, dist < cfg.min_dist)
+        escaped = jnp.logical_and(live, dist > cfg.max_dist)
+        live2 = jnp.logical_and(live, jnp.logical_not(newly_hit | escaped))
+        t2 = jnp.where(live2, t + dist, t)
+        return (k + 1, t2, live2, hit | newly_hit, steps + live.astype(jnp.int32))
+
+    state = (
+        jnp.int32(0),
+        jnp.zeros(n, origins.dtype),
+        jnp.ones(n, bool),
+        jnp.zeros(n, bool),
+        jnp.zeros(n, jnp.int32),
+    )
+    _, t, _, hit, steps = jax.lax.while_loop(cond, body, state)
+    return t, hit.astype(origins.dtype), steps
+
+
+def _march_scan(scene, origins, dirs, arrays, cfg: RenderConfig):
+    """Fixed-iteration masked march via lax.scan: reverse-differentiable."""
+    n = origins.shape[0]
+
+    @jax.checkpoint
+    def step(carry, _):
+        t, live, hit = carry
+        pos = origins + dirs * t[:, None]
+        dist = scene(pos, arrays)
+        newly_hit = jnp.logical_and(live, dist < cfg.min_dist)
+        escaped = jnp.logical_and(live, dist > cfg.max_dist)
+        live2 = jnp.logical_and(live, jnp.logical_not(newly_hit | escaped))
+        t2 = jnp.where(live2, t + dist, t)
+        return (t2, live2, hit | newly_hit), live.astype(jnp.int32)
+
+    init = (jnp.zeros(n, origins.dtype), jnp.ones(n, bool), jnp.zeros(n, bool))
+    (t, _, hit), live_hist = jax.lax.scan(step, init, None, length=cfg.max_iter)
+    return t, hit.astype(origins.dtype), jnp.sum(live_hist, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def make_march(spec: TapeSpec, cfg: RenderConfig, mode: str = "implicit"):
+    """Build `march(origins[N,3], dirs[N,3], arrays) -> (t, hit_mask, steps)`.
+
+    mode: "implicit" (while_loop fwd + implicit-function VJP),
+          "unrolled" (scan, native reverse-mode), or
+          "forward" (while_loop, no VJP — fastest for inference).
+    """
+    scene = make_scene_fn(spec, cfg)
+
+    if mode == "forward":
+        return functools.partial(_march_while, scene, cfg=cfg)
+    if mode == "unrolled":
+        return functools.partial(_march_scan, scene, cfg=cfg)
+    if mode != "implicit":
+        raise ValueError(f"unknown march mode: {mode}")
+
+    @jax.custom_vjp
+    def march(origins, dirs, arrays):
+        return _march_while(scene, origins, dirs, arrays, cfg)
+
+    def march_fwd(origins, dirs, arrays):
+        out = _march_while(scene, origins, dirs, arrays, cfg)
+        t, hit, _ = out
+        return out, (origins, dirs, arrays, t, hit)
+
+    def march_bwd(res, cotangents):
+        origins, dirs, arrays, t, hit = res
+        gt = cotangents[0]  # cotangents for hit/steps are zero by construction
+        pos = origins + dirs * t[:, None]
+
+        # Directional derivative of the SDF along the ray (denominator).
+        _, fdot = jax.jvp(lambda p: scene(p, arrays), (pos,), (dirs,))
+        denom = jnp.where(
+            jnp.abs(fdot) > 1e-6, fdot, jnp.where(fdot >= 0, 1e-6, -1e-6)
+        )
+        w = -gt * hit / denom
+
+        _, vjp_fn = jax.vjp(lambda p, a: scene(p, a), pos, arrays)
+        gpos, garrays = vjp_fn(w)
+        go = gpos
+        gd = gpos * t[:, None]
+        return go, gd, garrays
+
+    march.defvjp(march_fwd, march_bwd)
+    return march
+
+
+# ---------------------------------------------------------------------------
+# Normals and shading
+# ---------------------------------------------------------------------------
+
+_TETRA_TAPS = (
+    (1.0, -1.0, -1.0),
+    (-1.0, -1.0, 1.0),
+    (-1.0, 1.0, -1.0),
+    (1.0, 1.0, 1.0),
+)
+
+
+def calculate_normals(scene, pos, arrays, cfg: RenderConfig):
+    """Tetrahedron 4-tap normal estimate (reference wgsl:135-144)."""
+    acc = jnp.zeros_like(pos)
+    for tap in _TETRA_TAPS:
+        k = jnp.asarray(tap, pos.dtype)
+        acc = acc + k * scene(pos + k * cfg.normal_eps, arrays)[:, None]
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.maximum(norm, 1e-20)
+
+
+def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig):
+    """Per-ray linear color (no gamma): Lambertian on hit, checkerboard floor
+    on miss, black otherwise (reference wgsl:96-130)."""
+    pos = origins + dirs * t[:, None]
+    normal = calculate_normals(scene, pos, arrays, cfg)
+    to_light = pos - jnp.asarray(cfg.light_position, pos.dtype)
+    to_light = to_light / jnp.maximum(
+        jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20
+    )
+    diffuse = jnp.maximum(cfg.ambient, jnp.sum(normal * to_light, axis=-1))
+    hit_color = jnp.asarray(cfg.albedo, pos.dtype)[None, :] * diffuse[:, None]
+
+    dy = dirs[:, 1]
+    dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
+    floor_t = (cfg.floor_y - origins[:, 1]) / dy_safe
+    fpos = origins + dirs * floor_t[:, None]
+    # Clamp before the int cast: far-away floor positions (grazing rays) must
+    # not overflow int32; the pattern out there is sub-pixel anyway.
+    fxz = jnp.clip(fpos[:, [0, 2]], -1e7, 1e7)
+    ip = jnp.round(fxz + 0.5).astype(jnp.int32)
+    parity = ((ip[:, 0] ^ ip[:, 1]) & 1).astype(pos.dtype)
+    floor_color = (
+        jnp.asarray(cfg.floor_base, pos.dtype)[None, :]
+        + cfg.floor_checker * parity[:, None]
+    )
+    on_floor = jnp.logical_and(floor_t > 0.0, jnp.abs(dy) > 1e-8)
+    miss_color = jnp.where(on_floor[:, None], floor_color, 0.0)
+
+    return hit[:, None] * hit_color + (1.0 - hit[:, None]) * miss_color
+
+
+# ---------------------------------------------------------------------------
+# Full renderer
+# ---------------------------------------------------------------------------
+
+
+def render_rays(spec, arrays, origins, dirs, cfg=DEFAULT_CONFIG, mode="implicit"):
+    """March + shade + gamma for explicit rays -> color[N,3]."""
+    scene = make_scene_fn(spec, cfg)
+    march = make_march(spec, cfg, mode)
+    t, hit, _ = march(origins, dirs, arrays)
+    color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+    return jnp.sqrt(jnp.maximum(color, 0.0))
+
+
+def make_renderer(
+    spec: TapeSpec,
+    width: int,
+    height: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    mode: str = "implicit",
+    chunk: Optional[int] = None,
+):
+    """Build `render(arrays, camera) -> image[H,W,3]`.
+
+    Rays (aa^2 per pixel) are generated on the fly from flat indices and
+    processed in chunks via `lax.map` to bound live memory; `chunk=None`
+    processes everything in one shot (fine up to ~512^2).
+    `camera` is a utils.camera.Camera pytree (position, rotation) and the
+    output is differentiable w.r.t. it and w.r.t. `arrays`.
+    """
+    scene = make_scene_fn(spec, cfg)
+    march = make_march(spec, cfg, mode)
+    s = cfg.aa_samples * cfg.aa_samples
+    total = s * height * width
+
+    def per_rays(idx, arrays, camera):
+        origins, dirs = raygen_flat(
+            idx, camera.position, camera.rotation, width, height, cfg
+        )
+        t, hit, _ = march(origins, dirs, arrays)
+        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        return jnp.sqrt(jnp.maximum(color, 0.0))
+
+    def render(arrays: TapeArrays, camera):
+        if chunk is None:
+            idx = jnp.arange(total, dtype=jnp.int32)
+            colors = per_rays(idx, arrays, camera)
+        else:
+            padded = ((total + chunk - 1) // chunk) * chunk
+            idx = jnp.arange(padded, dtype=jnp.int32).reshape(-1, chunk)
+            colors = jax.lax.map(
+                lambda ix: per_rays(ix, arrays, camera), idx
+            ).reshape(-1, 3)[:total]
+        return colors.reshape(s, height, width, 3).mean(axis=0)
+
+    return render

@@ -1,0 +1,417 @@
+"""Scene compilation: CSG tree -> wire tape and -> TPU device program.
+
+Two encodings of the same postorder (RPN) program, cross-validated in tests:
+
+1. **Wire tape** (`encode_wire`): a flat `uint32` stream of opcodes and
+   bit-cast f32 params, ABI-compatible with the reference's command buffer
+   (reference src/ray_marching/csg/builder.rs:41-61; postorder emission per
+   operations/mod.rs:13-17). This is the runtime-upload / serialization
+   format, interpreted by the NumPy oracle (`raymarch_tpu.ops.oracle`) and by
+   the native C++ oracle.
+
+2. **Device program** (`compile_scene` -> `TapeSpec` + `TapeArrays`): the
+   TPU-native two-phase form.
+
+   The reference re-interprets the whole tape scalar-by-scalar per distance
+   query inside the fragment shader (ray_marching.wgsl:187-227). A scalar
+   stack machine is the wrong shape for a vector machine, so the device
+   program splits evaluation into:
+
+   - *Phase 1 — leaf banks*: all primitive leaves, grouped by type into
+     struct-of-arrays parameter banks (`leaf_params: f32[L_pad, 12]`), are
+     evaluated **vectorized over both leaves and rays** — per type, one fused
+     batch of VPU/MXU ops produces the full leaf-distance matrix `D[L, T]`.
+   - *Phase 2 — combine tape*: a short instruction array over `D` (PUSH /
+     UNION / ... / ROUND) with **stack slots precomputed at compile time**
+     (`out_slot`), so there is no runtime stack pointer; a binary op reads
+     slots (s, s+1) and writes s.
+
+   Everything dynamic about the scene lives in *arrays* (`TapeArrays`, a JAX
+   pytree): leaf params, instruction opcodes/args/params. The static part
+   (`TapeSpec`) is only shape/bucketing information. Editing the scene at
+   runtime is therefore a pure buffer swap with **no recompilation** as long
+   as bucket capacities fit, reproducing the reference's headline property
+   (README.md:7) the XLA-friendly way. Buckets grow in powers of two.
+
+   Gradients flow to `TapeArrays.leaf_params` (primitive geometry) and
+   `TapeArrays.op_param` (blend radii etc.) via plain `jax.grad`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..models import csg
+from . import opcodes as oc
+
+# ---------------------------------------------------------------------------
+# Wire tape encoder
+# ---------------------------------------------------------------------------
+
+
+def _f32_bits(x: float) -> int:
+    return int(np.float32(x).view(np.uint32))
+
+
+class WireTapeBuilder:
+    """Appends opcodes and bit-cast f32 params to a u32 stream.
+
+    Mirrors the reference's `CSGCommandBufferBuilder` (builder.rs:26-62):
+    `cmd_count` counts commands, params follow their opcode inline.
+    """
+
+    def __init__(self) -> None:
+        self.cmd_count = 0
+        self.words: list[int] = []
+
+    def push_command(self, op: int) -> "WireTapeBuilder":
+        self.cmd_count += 1
+        self.words.append(int(op))
+        return self
+
+    def push_param_float(self, v: float) -> "WireTapeBuilder":
+        self.words.append(_f32_bits(v))
+        return self
+
+    def push_param_vec3(self, v) -> "WireTapeBuilder":
+        for x in v:
+            self.push_param_float(x)
+        return self
+
+    def push_param_quat(self, q) -> "WireTapeBuilder":
+        for x in q:
+            self.push_param_float(x)
+        return self
+
+    def tape(self) -> np.ndarray:
+        return np.asarray(self.words, dtype=np.uint32)
+
+
+def _is_identity(q) -> bool:
+    from ..utils import math3d
+
+    return math3d.is_identity_quat(q)
+
+
+def _emit_node(node: csg.CSGNode, b: WireTapeBuilder) -> None:
+    """Postorder emission; children first, then the operator
+    (reference operations/mod.rs:13-17)."""
+    if isinstance(node, csg.Sphere):
+        b.push_command(oc.OP_SPHERE).push_param_vec3(node.center).push_param_float(
+            node.radius
+        )
+    elif isinstance(node, csg.Box):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_BOX).push_param_vec3(node.center).push_param_vec3(
+                node.half_extents
+            )
+        else:
+            b.push_command(oc.OP_BOX_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center).push_param_vec3(node.half_extents)
+    elif isinstance(node, csg.Torus):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_TORUS).push_param_vec3(node.center)
+        else:
+            b.push_command(oc.OP_TORUS_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center)
+        b.push_param_float(node.major_radius).push_param_float(node.minor_radius)
+    elif isinstance(node, csg.Plane):
+        b.push_command(oc.OP_PLANE).push_param_vec3(node.normal).push_param_float(
+            node.offset
+        )
+    elif isinstance(node, csg.BinaryOp):
+        _emit_node(node.a, b)
+        _emit_node(node.b, b)
+        op = {
+            csg.Union: oc.OP_UNION,
+            csg.Subtraction: oc.OP_SUBTRACTION,
+            csg.Intersection: oc.OP_INTERSECTION,
+            csg.SmoothUnion: oc.OP_SMOOTH_UNION,
+            csg.SmoothSubtraction: oc.OP_SMOOTH_SUBTRACTION,
+            csg.SmoothIntersection: oc.OP_SMOOTH_INTERSECTION,
+        }[type(node)]
+        b.push_command(op)
+        if isinstance(node, csg.SmoothBinaryOp):
+            b.push_param_float(node.k)
+    elif isinstance(node, csg.Round):
+        _emit_node(node.child, b)
+        b.push_command(oc.OP_ROUND).push_param_float(node.radius)
+    elif isinstance(node, csg.Onion):
+        _emit_node(node.child, b)
+        b.push_command(oc.OP_ONION).push_param_float(node.thickness)
+    elif isinstance(node, csg.Transform):
+        raise ValueError(
+            "wire tape has no transform opcodes; call csg.fold_transforms first"
+        )
+    else:
+        raise TypeError(f"unknown CSG node type: {type(node).__name__}")
+
+
+def encode_wire(scene: Optional[csg.CSGNode]) -> np.ndarray:
+    """Compile a scene to its wire tape. `None` (incomplete graph) yields an
+    empty tape, matching the reference's failure semantics
+    (csg_node_graph.rs evaluate -> None -> empty tape -> max_dist everywhere)."""
+    b = WireTapeBuilder()
+    if scene is not None:
+        _emit_node(csg.fold_transforms(scene), b)
+    return b.tape()
+
+
+def wire_cmd_count(tape: np.ndarray) -> int:
+    """Number of commands in a wire tape (walks the stream)."""
+    n = 0
+    i = 0
+    while i < len(tape):
+        op = int(tape[i])
+        i += 1 + oc.WIRE_PARAM_COUNT[op]
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Device program
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TapeSpec:
+    """Static (hashable) shape/bucketing info for a compiled scene.
+
+    Two scenes with the same TapeSpec share one XLA compilation; all scene
+    content lives in TapeArrays.
+    """
+
+    # Per-type leaf bank extents in the packed leaf_params array:
+    # ((leaf_type, start, stop), ...) with stop-start = bucketed capacity.
+    type_slices: tuple[tuple[int, int, int], ...]
+    n_leaves: int  # padded total leaf rows
+    n_instr: int  # padded combine-tape length
+    stack_depth: int
+    # Per-type flag: does any leaf of this type carry a non-identity rotation?
+    # (static so the unrotated fast path can skip quaternion math)
+    rotated_types: tuple[int, ...]
+
+
+@dataclasses.dataclass
+class TapeArrays:
+    """Dynamic scene content (a JAX pytree; numpy at compile time).
+
+    leaf_params: f32[n_leaves, LEAF_PARAM_WIDTH] — differentiable geometry.
+    tape_ops:    i32[n_instr] — COP_* opcodes (COP_NOP padding).
+    tape_arg:    i32[n_instr] — leaf row index for COP_PUSH, else 0.
+    op_param:    f32[n_instr] — blend radius / round radius / onion thickness.
+    out_slot:    i32[n_instr] — stack slot written by each instruction.
+    """
+
+    leaf_params: np.ndarray
+    tape_ops: np.ndarray
+    tape_arg: np.ndarray
+    op_param: np.ndarray
+    out_slot: np.ndarray
+
+
+def _register_tape_arrays() -> None:
+    import jax
+
+    jax.tree_util.register_dataclass(
+        TapeArrays,
+        data_fields=["leaf_params", "tape_ops", "tape_arg", "op_param", "out_slot"],
+        meta_fields=[],
+    )
+
+
+try:  # JAX is always present in this repo, but keep numpy-only import working.
+    import jax
+
+    _register_tape_arrays()
+except ImportError:  # pragma: no cover
+    pass
+
+
+def _next_pow2(n: int, lo: int) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+_WIRE_TO_COP = {
+    oc.OP_UNION: oc.COP_UNION,
+    oc.OP_SUBTRACTION: oc.COP_SUBTRACTION,
+    oc.OP_INTERSECTION: oc.COP_INTERSECTION,
+    oc.OP_SMOOTH_UNION: oc.COP_SMOOTH_UNION,
+    oc.OP_SMOOTH_SUBTRACTION: oc.COP_SMOOTH_SUBTRACTION,
+    oc.OP_SMOOTH_INTERSECTION: oc.COP_SMOOTH_INTERSECTION,
+    oc.OP_ROUND: oc.COP_ROUND,
+    oc.OP_ONION: oc.COP_ONION,
+}
+
+_WIRE_PRIM_TO_LEAF = {
+    oc.OP_SPHERE: oc.LEAF_SPHERE,
+    oc.OP_BOX: oc.LEAF_BOX,
+    oc.OP_BOX_ROT: oc.LEAF_BOX,
+    oc.OP_PLANE: oc.LEAF_PLANE,
+    oc.OP_TORUS: oc.LEAF_TORUS,
+    oc.OP_TORUS_ROT: oc.LEAF_TORUS,
+}
+
+
+def _decode_wire(tape: np.ndarray):
+    """Walk a wire tape into (leaf list, instruction list).
+
+    Leaves: (leaf_type, rotated, param_row f32[LEAF_PARAM_WIDTH]).
+    Instructions: (cop, leaf_ordinal_or_0, op_param).
+    """
+    f32 = tape.view(np.float32)
+    leaves: list[tuple[int, bool, np.ndarray]] = []
+    instrs: list[tuple[int, int, float]] = []
+    i = 0
+    while i < len(tape):
+        op = int(tape[i])
+        i += 1
+        npar = oc.WIRE_PARAM_COUNT[op]
+        pars = f32[i : i + npar]
+        i += npar
+        if op in oc.PRIMITIVE_OPS:
+            row = np.zeros(oc.LEAF_PARAM_WIDTH, dtype=np.float32)
+            row[0] = 1.0  # identity quat
+            rotated = op in (oc.OP_BOX_ROT, oc.OP_TORUS_ROT)
+            if rotated:
+                row[0:4] = pars[0:4]
+                rest = pars[4:]
+            else:
+                rest = pars
+            if op == oc.OP_SPHERE:
+                row[4:7] = rest[0:3]
+                row[7] = rest[3]
+            elif op in (oc.OP_BOX, oc.OP_BOX_ROT):
+                row[4:7] = rest[0:3]
+                row[7:10] = rest[3:6]
+            elif op in (oc.OP_TORUS, oc.OP_TORUS_ROT):
+                row[4:7] = rest[0:3]
+                row[7] = rest[3]
+                row[8] = rest[4]
+            elif op == oc.OP_PLANE:
+                row[7:10] = rest[0:3]
+                row[10] = rest[3]
+            leaves.append((_WIRE_PRIM_TO_LEAF[op], rotated, row))
+            instrs.append((oc.COP_PUSH, len(leaves) - 1, 0.0))
+        else:
+            k = float(pars[0]) if npar else 0.0
+            instrs.append((_WIRE_TO_COP[op], 0, k))
+    return leaves, instrs
+
+
+def compile_wire(
+    tape: np.ndarray,
+    *,
+    bucket: bool = True,
+    min_leaf_bucket: int = 8,
+    min_instr_bucket: int = 16,
+    stack_depth: Optional[int] = None,
+) -> tuple[TapeSpec, TapeArrays]:
+    """Lower a wire tape to the two-phase device program.
+
+    This is the runtime-edit path: graph edit -> new wire tape -> new
+    TapeArrays; as long as the resulting TapeSpec is unchanged (bucketed
+    capacities), the jitted renderer is reused with zero recompilation.
+    """
+    leaves, instrs = _decode_wire(np.asarray(tape, dtype=np.uint32))
+
+    # Group leaves by type (stable order within type), remember mapping.
+    order = sorted(range(len(leaves)), key=lambda j: (leaves[j][0], j))
+    leaf_row_of = {}  # original leaf ordinal -> packed row index
+    counts = [0] * oc.NUM_LEAF_TYPES
+    for j in order:
+        counts[leaves[j][0]] += 1
+
+    if bucket:
+        caps = [0 if c == 0 else _next_pow2(c, min_leaf_bucket) for c in counts]
+    else:
+        caps = list(counts)
+
+    starts = np.concatenate([[0], np.cumsum(caps)]).astype(int)
+    n_leaves = int(starts[-1]) if starts[-1] > 0 else 1
+
+    leaf_params = np.zeros((n_leaves, oc.LEAF_PARAM_WIDTH), dtype=np.float32)
+    leaf_params[:, 0] = 1.0  # identity quats everywhere (incl. padding)
+    # Padding rows are harmless: r=0 spheres at origin / degenerate boxes;
+    # they are only evaluated, never referenced by the tape.
+
+    type_slices = []
+    rotated_types = [0] * oc.NUM_LEAF_TYPES
+    cursor = {t: int(starts[t]) for t in range(oc.NUM_LEAF_TYPES)}
+    for j in order:
+        t, rotated, row = leaves[j]
+        r = cursor[t]
+        cursor[t] = r + 1
+        leaf_params[r] = row
+        leaf_row_of[j] = r
+        if rotated:
+            rotated_types[t] = 1
+    for t in range(oc.NUM_LEAF_TYPES):
+        if caps[t] > 0:
+            type_slices.append((t, int(starts[t]), int(starts[t]) + caps[t]))
+
+    # Combine tape with precomputed stack slots.
+    n_real = len(instrs)
+    n_instr = _next_pow2(max(n_real, 1), min_instr_bucket) if bucket else max(n_real, 1)
+    tape_ops = np.zeros(n_instr, dtype=np.int32)  # COP_NOP padding
+    tape_arg = np.zeros(n_instr, dtype=np.int32)
+    op_param = np.zeros(n_instr, dtype=np.float32)
+    out_slot = np.zeros(n_instr, dtype=np.int32)
+
+    depth = 0
+    max_depth = 0
+    for idx, (cop, arg, k) in enumerate(instrs):
+        if cop == oc.COP_PUSH:
+            slot = depth
+            depth += 1
+        elif cop in (oc.COP_ROUND, oc.COP_ONION):
+            if depth < 1:
+                raise ValueError("malformed tape: unary op on empty stack")
+            slot = depth - 1
+        else:
+            if depth < 2:
+                raise ValueError("malformed tape: binary op needs two operands")
+            slot = depth - 2
+            depth -= 1
+        max_depth = max(max_depth, depth)
+        tape_ops[idx] = cop
+        tape_arg[idx] = leaf_row_of[arg] if cop == oc.COP_PUSH else 0
+        op_param[idx] = k
+        out_slot[idx] = slot
+    if n_real and depth != 1:
+        raise ValueError(f"malformed tape: final stack depth {depth} != 1")
+
+    sd = stack_depth if stack_depth is not None else _next_pow2(max(max_depth, 1), 8)
+    # NOP padding writes to the top scratch slot so it can never clobber live
+    # values; the result always lives in slot 0.
+    out_slot[n_real:] = sd - 1
+
+    spec = TapeSpec(
+        type_slices=tuple(type_slices),
+        n_leaves=n_leaves,
+        n_instr=n_instr,
+        stack_depth=sd,
+        rotated_types=tuple(rotated_types),
+    )
+    arrays = TapeArrays(
+        leaf_params=leaf_params,
+        tape_ops=tape_ops,
+        tape_arg=tape_arg,
+        op_param=op_param,
+        out_slot=out_slot,
+    )
+    return spec, arrays
+
+
+def compile_scene(
+    scene: Optional[csg.CSGNode], **kwargs
+) -> tuple[TapeSpec, TapeArrays]:
+    """Scene DSL -> device program (via the wire tape, so both encodings
+    always agree by construction)."""
+    return compile_wire(encode_wire(scene), **kwargs)

@@ -1,0 +1,3 @@
+from . import camera, math3d
+
+__all__ = ["camera", "math3d"]
