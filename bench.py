@@ -1,0 +1,141 @@
+"""Benchmark: forward rays/s at 1080p on the BASELINE config-2 scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/1e9}
+(baseline = BASELINE.json north-star target of 1e9 rays/s/chip forward.)
+
+Headline: the fully fused Pallas render kernel (in-kernel raygen + march +
+shading + gamma) on a static-tape compile of the multi-primitive CSG scene
+(sphere/box/torus, union + subtraction; floor rendered analytically on miss,
+exactly as the reference does). Secondary numbers go to stderr: dynamic-tape
+(zero-recompile-edit) render, march-only, and fwd+bwd.
+
+Timing protocol: the timed jit returns on-device scalar checksums only
+(block_until_ready through the axon tunnel does not reliably fence, and
+materializing full images would time the 24MB host transfer instead).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+WIDTH, HEIGHT = 1920, 1080
+BASELINE_RAYS_PER_S = 1e9
+
+
+def scene_config2(rm):
+    """Multi-primitive CSG (BASELINE config 2): sphere/box/torus with union +
+    subtraction. The floor is the analytic miss-path plane, as in the
+    reference (wgsl:117-128) — not a marched primitive."""
+    return (
+        rm.sphere(center=(-0.6, 0.0, 0.0), radius=0.9)
+        | rm.box(center=(0.8, 0.0, 0.0), half_extents=(0.5, 0.5, 0.5))
+    ) - rm.torus(center=(0.0, 0.8, 0.0), major_radius=0.7, minor_radius=0.25)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import raymarch_tpu as rm
+
+    cfg = rm.DEFAULT_CONFIG  # 4x4 AA = 16 rays/px, max_iter=100 (reference spec)
+    scene = scene_config2(rm)
+    cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0.0, 0.0, 0.0))
+    n_rays = WIDTH * HEIGHT * cfg.aa_samples**2
+
+    def timeit(fn, *args, warmup=2, iters=5):
+        for _ in range(warmup):
+            out = fn(*args)
+            jax.tree_util.tree_map(lambda x: float(np.asarray(x).ravel()[0]), out)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree_util.tree_map(lambda x: float(np.asarray(x).ravel()[0]), out)
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    # --- headline: fused kernel, static tape --------------------------------
+    spec_s, arrays_s = rm.compile_scene(scene, static=True)
+    from raymarch_tpu.ops.pallas_march import make_pallas_image_render
+
+    rgb = make_pallas_image_render(spec_s, cfg, WIDTH, HEIGHT)
+    cam_vec = jnp.asarray(
+        np.concatenate([cam.position, cam.rotation, [0.0]]).astype(np.float32)
+    )
+    fused = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb(a, c)])
+    dt_fused, _ = timeit(fused, arrays_s, cam_vec)
+    fwd_rays_per_s = n_rays / dt_fused
+    print(
+        f"fused fwd render (static tape): {dt_fused*1e3:.1f} ms/frame, "
+        f"{fwd_rays_per_s/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: dynamic tape (zero-recompile runtime edits) -------------
+    spec_d, arrays_d = rm.compile_scene(scene)
+    rgb_d = make_pallas_image_render(spec_d, cfg, WIDTH, HEIGHT)
+    fused_d = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb_d(a, c)])
+    dt_dyn, _ = timeit(fused_d, arrays_d, cam_vec)
+    print(
+        f"fused fwd render (dynamic tape): {dt_dyn*1e3:.1f} ms/frame, "
+        f"{n_rays/dt_dyn/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: march-only + stats --------------------------------------
+    from raymarch_tpu.ops.pallas_march import make_pallas_image_march
+
+    im = make_pallas_image_march(spec_s, cfg, WIDTH, HEIGHT)
+    march_fn = jax.jit(
+        lambda a, c: (lambda t, h, s: (jnp.sum(t), jnp.mean(h), jnp.mean(s)))(
+            *im(a, c)
+        )
+    )
+    dt_march, out = timeit(march_fn, arrays_s, cam_vec)
+    _, hit_rate, avg_steps = (float(np.asarray(x)) for x in out)
+    print(
+        f"march-only: {dt_march*1e3:.1f} ms, {n_rays/dt_march/1e9:.3f} Grays/s, "
+        f"avg steps/ray {avg_steps:.1f}, hit rate {hit_rate:.3f}",
+        file=sys.stderr,
+    )
+
+    # --- secondary: fwd+bwd (pixel-loss gradient wrt scene params) ----------
+    try:
+        render = rm.make_renderer(
+            spec_s, WIDTH, HEIGHT, cfg, mode="implicit", backend="pallas",
+            chunk=1 << 20,
+        )
+        import dataclasses
+
+        def loss(lp, camera):
+            img = render(dataclasses.replace(arrays_s, leaf_params=lp), camera)
+            return jnp.mean(img**2)
+
+        grad_fn = jax.jit(lambda lp, c: jax.grad(loss)(lp, c))
+        lp = jnp.asarray(arrays_s.leaf_params)
+        dt_bwd, _ = timeit(grad_fn, lp, cam, warmup=1, iters=2)
+        print(
+            f"fwd+bwd: {dt_bwd*1e3:.1f} ms, {n_rays/dt_bwd/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"fwd+bwd benchmark failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "fwd_rays_per_sec_1080p_16aa",
+        "value": fwd_rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": fwd_rays_per_s / BASELINE_RAYS_PER_S,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,12 @@ class RenderConfig:
     # Normal estimation (tetrahedron central differences).
     normal_eps: float = 1e-4
 
+    # Implicit-function VJP: lower bound on |grad_x f . d| (the IFT
+    # denominator). Grazing rays have |denominator| -> 0 and would amplify
+    # gradients unboundedly (1/denom); this caps the amplification at
+    # 1/clamp. Biased at grazing incidence, bounded everywhere.
+    grad_denom_clamp: float = 0.05
+
     # CSG evaluation.
     stack_depth: int = 32
 

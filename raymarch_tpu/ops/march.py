@@ -28,6 +28,8 @@ sqrt gamma per AA sample, AA average.
 from __future__ import annotations
 
 import functools
+
+from jax.ad_checkpoint import checkpoint_name
 from typing import Optional
 
 import jax
@@ -125,9 +127,8 @@ def make_march(spec: TapeSpec, cfg: RenderConfig, mode: str = "implicit"):
 
         # Directional derivative of the SDF along the ray (denominator).
         _, fdot = jax.jvp(lambda p: scene(p, arrays), (pos,), (dirs,))
-        denom = jnp.where(
-            jnp.abs(fdot) > 1e-6, fdot, jnp.where(fdot >= 0, 1e-6, -1e-6)
-        )
+        c = cfg.grad_denom_clamp
+        denom = jnp.where(jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c))
         w = -gt * hit / denom
 
         _, vjp_fn = jax.vjp(lambda p, a: scene(p, a), pos, arrays)
@@ -166,6 +167,12 @@ def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig):
     """Per-ray linear color (no gamma): Lambertian on hit, checkerboard floor
     on miss, black otherwise (reference wgsl:96-130)."""
     pos = origins + dirs * t[:, None]
+    # Double-where: evaluate the hit branch at a benign position for miss
+    # rays so their (masked-out) normals can't leak NaN/Inf *gradients*
+    # through the multiply-mask (escaped rays sit ~100 units out where the
+    # 4-tap normal numerator underflows).
+    hit_mask = hit[:, None] > 0.5
+    pos = jnp.where(hit_mask, pos, origins)
     normal = calculate_normals(scene, pos, arrays, cfg)
     to_light = pos - jnp.asarray(cfg.light_position, pos.dtype)
     to_light = to_light / jnp.maximum(
@@ -198,13 +205,19 @@ def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig):
 # ---------------------------------------------------------------------------
 
 
+def _gamma(color):
+    """sqrt gamma (reference wgsl:68); the +1e-12 keeps the gradient finite
+    at exactly-black pixels (sqrt'(0) = inf would NaN the backward pass)."""
+    return jnp.sqrt(jnp.maximum(color, 0.0) + 1e-12)
+
+
 def render_rays(spec, arrays, origins, dirs, cfg=DEFAULT_CONFIG, mode="implicit"):
     """March + shade + gamma for explicit rays -> color[N,3]."""
     scene = make_scene_fn(spec, cfg)
     march = make_march(spec, cfg, mode)
     t, hit, _ = march(origins, dirs, arrays)
     color = shade(scene, origins, dirs, t, hit, arrays, cfg)
-    return jnp.sqrt(jnp.maximum(color, 0.0))
+    return _gamma(color)
 
 
 def make_renderer(
@@ -214,6 +227,7 @@ def make_renderer(
     cfg: RenderConfig = DEFAULT_CONFIG,
     mode: str = "implicit",
     chunk: Optional[int] = None,
+    backend: str = "jnp",
 ):
     """Build `render(arrays, camera) -> image[H,W,3]`.
 
@@ -222,19 +236,113 @@ def make_renderer(
     processes everything in one shot (fine up to ~512^2).
     `camera` is a utils.camera.Camera pytree (position, rotation) and the
     output is differentiable w.r.t. it and w.r.t. `arrays`.
+
+    backend:
+      "jnp"          — pure-XLA march (make_march; all modes).
+      "pallas"       — Pallas march kernel per ray chunk; mode "forward"
+                       uses the raw kernel, "implicit" pairs it with the
+                       implicit-function VJP. ("unrolled" unsupported.)
+      "pallas_image" — Pallas kernel with in-kernel ray generation (fastest
+                       forward path; mode "forward" only): the kernel reads
+                       only the scene from HBM, then shading runs as a
+                       second jnp pass.
     """
     scene = make_scene_fn(spec, cfg)
-    march = make_march(spec, cfg, mode)
     s = cfg.aa_samples * cfg.aa_samples
     total = s * height * width
+
+    if backend == "jnp":
+        march = make_march(spec, cfg, mode)
+    elif backend == "pallas":
+        from .pallas_march import make_march_pallas, make_pallas_ray_march
+
+        if mode == "forward":
+            raw = make_pallas_ray_march(spec, cfg)
+            march = lambda o, d, a: raw(a, o, d)
+        elif mode == "implicit":
+            march = make_march_pallas(spec, cfg)
+        else:
+            raise ValueError("pallas backend supports modes 'forward'/'implicit'")
+    elif backend == "pallas_image":
+        if mode != "forward":
+            raise ValueError("pallas_image backend is forward-only")
+        from .pallas_march import make_pallas_image_march
+
+        image_march = make_pallas_image_march(spec, cfg, width, height)
+    elif backend == "pallas_full":
+        if mode != "forward":
+            raise ValueError("pallas_full backend is forward-only")
+        from .pallas_march import make_pallas_image_render
+
+        rgb_render = make_pallas_image_render(spec, cfg, width, height)
+
+        def render_full(arrays: TapeArrays, camera):
+            cam_vec = jnp.concatenate(
+                [
+                    jnp.asarray(camera.position, jnp.float32),
+                    jnp.asarray(camera.rotation, jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                ]
+            )
+            r, g, b = rgb_render(arrays, cam_vec)
+            color = jnp.stack([r, g, b], axis=-1)
+            return color.reshape(height, width, s, 3).mean(axis=2)
+
+        return render_full
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+
+    def shade_chunk(idx, t, hit, arrays, camera):
+        origins, dirs = raygen_flat(
+            idx, camera.position, camera.rotation, width, height, cfg
+        )
+        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        return _gamma(color)
+
+    if backend == "pallas_image":
+
+        def render(arrays: TapeArrays, camera):
+            cam_vec = jnp.concatenate(
+                [
+                    jnp.asarray(camera.position, jnp.float32),
+                    jnp.asarray(camera.rotation, jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                ]
+            )
+            t, hit, _ = image_march(arrays, cam_vec)
+            if chunk is None:
+                idx = jnp.arange(total, dtype=jnp.int32)
+                colors = shade_chunk(idx, t, hit, arrays, camera)
+            else:
+                padded = ((total + chunk - 1) // chunk) * chunk
+                idx = jnp.arange(padded, dtype=jnp.int32).reshape(-1, chunk)
+                tp = jnp.pad(t, (0, padded - total)).reshape(-1, chunk)
+                hp = jnp.pad(hit, (0, padded - total)).reshape(-1, chunk)
+                colors = jax.lax.map(
+                    lambda args: shade_chunk(args[0], args[1], args[2], arrays, camera),
+                    (idx, tp, hp),
+                ).reshape(-1, 3)[:total]
+            return colors.reshape(height, width, s, 3).mean(axis=2)
+
+        return render
 
     def per_rays(idx, arrays, camera):
         origins, dirs = raygen_flat(
             idx, camera.position, camera.rotation, width, height, cfg
         )
-        t, hit, _ = march(origins, dirs, arrays)
+        t, hit, _ = checkpoint_name(march(origins, dirs, arrays), "march")
         color = shade(scene, origins, dirs, t, hit, arrays, cfg)
-        return jnp.sqrt(jnp.maximum(color, 0.0))
+        return _gamma(color)
+
+    # For chunked differentiable rendering, rematerialize everything except
+    # the march outputs in the backward pass: t/hit are 2 floats/ray while
+    # the shading intermediates are tens of floats/ray — without this the
+    # reverse pass of lax.map materializes every chunk's intermediates at
+    # once (OOM at 1080p x 16 AA).
+    per_rays_remat = jax.checkpoint(
+        per_rays,
+        policy=jax.checkpoint_policies.save_only_these_names("march"),
+    )
 
     def render(arrays: TapeArrays, camera):
         if chunk is None:
@@ -244,8 +352,8 @@ def make_renderer(
             padded = ((total + chunk - 1) // chunk) * chunk
             idx = jnp.arange(padded, dtype=jnp.int32).reshape(-1, chunk)
             colors = jax.lax.map(
-                lambda ix: per_rays(ix, arrays, camera), idx
+                lambda ix: per_rays_remat(ix, arrays, camera), idx
             ).reshape(-1, 3)[:total]
-        return colors.reshape(s, height, width, 3).mean(axis=0)
+        return colors.reshape(height, width, s, 3).mean(axis=2)
 
     return render

@@ -1,0 +1,618 @@
+"""Pallas TPU sphere-tracing march kernel — the hot loop of the framework.
+
+This is the TPU-native replacement for the reference's per-fragment march +
+tape interpreter (reference src/ray_marching/ray_marching.wgsl:87-227). Design
+points, mapped to the hardware:
+
+- **Tile of rays per program instance**: each grid step marches a
+  (BM, 128)-shaped tile of rays (f32 native tile is (8,128)); all math is
+  VPU-vectorized over the tile.
+- **Scene data in SMEM via scalar prefetch**: the combine tape (opcodes,
+  leaf args, stack slots, op params) and the leaf parameter bank are scalar-
+  prefetched, so per-instruction control flow (lax.switch) runs off scalar
+  memory while the value stack lives in VMEM scratch. The tape is *data*:
+  scene edits re-upload buffers, the compiled kernel is reused.
+- **Phase-1 leaf evaluation is fully unrolled**: the per-leaf primitive type
+  is static (TapeSpec), so each leaf's distance is an inline straight-line
+  VPU block with scalar params from SMEM — no branching at all in phase 1.
+- **Tile-granularity early exit**: the march is a lax.while_loop on
+  "any ray in tile live AND iter < max_iter", reproducing the reference's
+  per-pixel break at the granularity a SIMD machine can (SURVEY.md §7
+  "Divergence").
+- **In-kernel ray generation** (`make_pallas_image_march`): rays are derived
+  from the flat ray index and 8 camera scalars, so the kernel reads only the
+  scene (a few KB) from HBM and writes 3 words/ray — HBM traffic is
+  output-only.
+
+The backward pass reuses the implicit-function VJP from ops.march (one extra
+jnp scene evaluation at the hit points); see `make_march_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from . import opcodes as oc
+from .tape import TapeArrays, TapeSpec
+
+# f32 native tile: 8 sublanes x 128 lanes. BM (tile height in sublanes) is
+# tunable: bigger tiles amortize per-grid-step dispatch overhead, smaller
+# tiles exit the march earlier on coherent regions.
+BM = 128
+LANES = 128
+TILE = BM * LANES
+
+
+def _leaf_static_rows(spec: TapeSpec):
+    """Static (row, leaf_type, rotated) list covering every bank row."""
+    rows = []
+    for t, start, stop in spec.type_slices:
+        for r in range(start, stop):
+            rows.append((r, t, bool(spec.rotated_types[t])))
+    return rows
+
+
+def _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz):
+    """Distance of one leaf to a (BM,128) tile of points; straight-line VPU
+    code with scalar params read from the scalar-prefetched leaf bank."""
+    cx, cy, cz = lp_ref[row, 4], lp_ref[row, 5], lp_ref[row, 6]
+    x = px - cx
+    y = py - cy
+    z = pz - cz
+    if rotated:
+        # Inverse-rotate by the unit quaternion (w,x,y,z): q* p q.
+        qw, qx, qy, qz = lp_ref[row, 0], lp_ref[row, 1], lp_ref[row, 2], lp_ref[row, 3]
+        qx, qy, qz = -qx, -qy, -qz
+        # t = 2 * (u x v); v' = v + w*t + u x t
+        tx = 2.0 * (qy * z - qz * y)
+        ty = 2.0 * (qz * x - qx * z)
+        tz = 2.0 * (qx * y - qy * x)
+        x, y, z = (
+            x + qw * tx + (qy * tz - qz * ty),
+            y + qw * ty + (qz * tx - qx * tz),
+            z + qw * tz + (qx * ty - qy * tx),
+        )
+    if ltype == oc.LEAF_SPHERE:
+        r = lp_ref[row, 7]
+        return jnp.sqrt(x * x + y * y + z * z + 1e-20) - r
+    if ltype == oc.LEAF_BOX:
+        hx, hy, hz = lp_ref[row, 7], lp_ref[row, 8], lp_ref[row, 9]
+        qx_ = jnp.abs(x) - hx
+        qy_ = jnp.abs(y) - hy
+        qz_ = jnp.abs(z) - hz
+        ox = jnp.maximum(qx_, 0.0)
+        oy = jnp.maximum(qy_, 0.0)
+        oz = jnp.maximum(qz_, 0.0)
+        outside = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-20)
+        inside = jnp.minimum(jnp.maximum(qx_, jnp.maximum(qy_, qz_)), 0.0)
+        return outside + inside
+    if ltype == oc.LEAF_PLANE:
+        nx, ny, nz, off = lp_ref[row, 7], lp_ref[row, 8], lp_ref[row, 9], lp_ref[row, 10]
+        # plane ignores center/rotation (folded at compile time)
+        return px * nx + py * ny + pz * nz + off
+    if ltype == oc.LEAF_TORUS:
+        rr, sr = lp_ref[row, 7], lp_ref[row, 8]
+        ring = jnp.sqrt(x * x + z * z + 1e-20) - rr
+        return jnp.sqrt(ring * ring + y * y + 1e-20) - sr
+    raise ValueError(f"unknown leaf type {ltype}")
+
+
+def _combine_branches():
+    """Combine-op branch table, indexed by COP_* (pure; operates on tiles)."""
+
+    def smin(a, b, k):
+        k = jnp.maximum(k, 1e-8)
+        h = jnp.maximum(k - jnp.abs(a - b), 0.0) / k
+        return jnp.minimum(a, b) - h * h * k * 0.25
+
+    return [
+        lambda a, b, leaf, k: a,  # NOP
+        lambda a, b, leaf, k: leaf,  # PUSH
+        lambda a, b, leaf, k: jnp.minimum(a, b),  # UNION
+        lambda a, b, leaf, k: jnp.maximum(a, b),  # INTERSECTION
+        lambda a, b, leaf, k: jnp.maximum(a, -b),  # SUBTRACTION
+        lambda a, b, leaf, k: smin(a, b, k),  # SMOOTH_UNION
+        lambda a, b, leaf, k: -smin(-a, -b, k),  # SMOOTH_INTERSECTION
+        lambda a, b, leaf, k: -smin(-a, b, k),  # SMOOTH_SUBTRACTION
+        lambda a, b, leaf, k: a - k,  # ROUND
+        lambda a, b, leaf, k: jnp.abs(a) - k,  # ONION
+    ]
+
+
+def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
+    """Build scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+    scratch, px, py, pz) -> d tile. `scratch` is (D_ref, stack_ref) for the
+    dynamic tape, or () for a static tape (pure register dataflow)."""
+    if spec.static_tape is not None:
+        row_types = {r: (t, rot) for r, t, rot in leaf_rows}
+        from .sdf import _apply_static_tape
+
+        def scene_eval_static(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz):
+            # Leaves evaluated lazily at their PUSH site; the whole combine
+            # phase unrolls into straight-line VPU code, params from SMEM.
+            def leaf_fn(row):
+                t, rot = row_types[row]
+                return _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
+
+            return _apply_static_tape(spec, opp_ref, leaf_fn, cfg.max_dist, px)
+
+        return scene_eval_static
+
+    branches = _combine_branches()
+
+    def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz):
+        D_ref, stack_ref = scratch
+        # Phase 1: unrolled static leaf bank -> D rows.
+        for row, ltype, rotated in leaf_rows:
+            D_ref[row] = _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz)
+
+        # Phase 2: data-driven combine tape over D.
+        # (init derived from px, not jnp.full: Mosaic rejects replicated-
+        # constant vectors meeting data-dependent layouts, see _march_tile)
+        far = px * 0.0 + cfg.max_dist
+        stack_ref[spec.stack_depth] = far
+        stack_ref[0] = far
+
+        def body(k, _):
+            op = ops_ref[k]
+            arg = arg_ref[k]
+            slot = slot_ref[k]
+            kp = opp_ref[k]
+            a = stack_ref[slot]
+            b = stack_ref[slot + 1]
+            leaf = D_ref[arg]
+            val = jax.lax.switch(op, branches, a, b, leaf, kp)
+            stack_ref[slot] = val
+            return 0
+
+        jax.lax.fori_loop(0, spec.n_instr, body, 0, unroll=False)
+        return stack_ref[0]
+
+    return scene_eval
+
+
+def _march_tile(scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig):
+    """Masked sphere tracing for one tile; returns (t, hit, steps) f32 tiles.
+
+    All loop-carried state is f32 ({0,1} masks as floats) and every carried
+    vector is initialized FROM THE RAY DATA (`ox * 0.0`), not from
+    jnp.zeros/ones: Mosaic's layout inference assigns replicated layouts to
+    broadcast constants and then fails with "Invalid relayout: ... replicated
+    in destination but not in source" when the loop body produces a normal
+    (non-replicated) layout for the same carry slot.
+    """
+    zero = dx * 0.0  # dx is data/iota-derived in both kernels (never replicated)
+
+    def cond(state):
+        k, _, live, _, _ = state
+        return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
+
+    def body(state):
+        k, t, live, hit, steps = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        d = scene_eval_bound(px, py, pz)
+        hit_now = jnp.where(d < cfg.min_dist, live, 0.0)
+        escaped = jnp.where(d > cfg.max_dist, live, 0.0)
+        live2 = live - hit_now - escaped
+        t2 = t + d * live2
+        return (k + 1, t2, live2, hit + hit_now, steps + live)
+
+    state = (jnp.int32(0), zero, zero + 1.0, zero, zero)
+    _, t, _, hit, steps = jax.lax.while_loop(cond, body, state)
+    return t, hit, steps
+
+
+def _scratch_shapes(spec: TapeSpec, bm: int = BM):
+    if spec.static_tape is not None:
+        return []  # static tape: register dataflow, no VMEM scratch
+    return [
+        pltpu.VMEM((spec.n_leaves, bm, LANES), jnp.float32),  # D leaf distances
+        pltpu.VMEM((spec.stack_depth + 1, bm, LANES), jnp.float32),  # value stack
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_ray_march(
+    spec: TapeSpec, cfg: RenderConfig, interpret: bool = False, bm: int = BM
+):
+    """March explicit rays: fn(arrays, origins[N,3], dirs[N,3]) ->
+    (t[N], hit[N], steps[N]). N is padded to a TILE multiple internally."""
+    leaf_rows = _leaf_static_rows(spec)
+    scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm)
+    tile = bm * LANES
+
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, rays_ref, t_ref, hit_ref, steps_ref, *scratch):
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+
+        def bound(px, py, pz):
+            return scene_eval(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+            )
+
+        t, hit, steps = _march_tile(bound, ox, oy, oz, dx, dy, dz, cfg)
+        t_ref[:] = t
+        hit_ref[:] = hit
+        steps_ref[:] = steps
+
+    def march(arrays: TapeArrays, origins, dirs):
+        n = origins.shape[0]
+        n_pad = ((n + tile - 1) // tile) * tile
+        rays = jnp.concatenate(
+            [
+                jnp.pad(jnp.asarray(origins, jnp.float32), ((0, n_pad - n), (0, 0))).T,
+                jnp.pad(jnp.asarray(dirs, jnp.float32), ((0, n_pad - n), (0, 0))).T,
+            ],
+            axis=0,
+        ).reshape(6, n_pad // LANES, LANES)
+        grid = (n_pad // tile,)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (6, bm, LANES), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=_scratch_shapes(spec, bm),
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        ]
+        t, hit, steps = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            jnp.asarray(arrays.tape_ops),
+            jnp.asarray(arrays.tape_arg),
+            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.op_param),
+            jnp.asarray(arrays.leaf_params),
+            rays,
+        )
+        flat = lambda x: x.reshape(-1)[:n]
+        return flat(t), flat(hit), flat(steps).astype(jnp.int32)
+
+    return march
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_image_march(
+    spec: TapeSpec,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    bm: int = BM,
+):
+    """March every AA ray of a width x height image with in-kernel raygen:
+    fn(arrays, cam_vec f32[8]=(pos3, quat4, 0)) -> (t[N], hit[N], steps[N])
+    with N = aa^2 * H * W rays in flat index order (see ops.raygen)."""
+    leaf_rows = _leaf_static_rows(spec)
+    scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm)
+    tile = bm * LANES
+    naa = cfg.aa_samples
+    hw = height * width
+    total = naa * naa * hw
+    n_pad = ((total + tile - 1) // tile) * tile
+    tanf = math.tan(cfg.fovy / 2.0)
+    aspect = width / height
+
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, t_ref, hit_ref, steps_ref, *scratch):
+        pid = pl.program_id(0)
+        base = pid * tile
+        lin = (
+            base
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
+        )
+        # Decompose pixel-major flat ray index (see ops.raygen):
+        # lin = (i*W + j)*S + s.
+        S = naa * naa
+        p = lin // S
+        s = lin - p * S
+        i = p // width
+        j = p - i * width
+        a = s // naa
+        b = s - a * naa
+
+        fa = (a.astype(jnp.float32) + 0.5) / naa - 0.5
+        fb = (b.astype(jnp.float32) + 0.5) / naa - 0.5
+        x = (
+            2.0 * (j.astype(jnp.float32) + 0.5) / width
+            - 1.0
+            + fa * (2.0 / width)
+        )
+        y = (
+            1.0
+            - 2.0 * (i.astype(jnp.float32) + 0.5) / height
+            + fb * (2.0 / height)
+        )
+
+        vx = x * (tanf * aspect)
+        vy = y * tanf
+        vz = jnp.full((bm, LANES), -1.0, jnp.float32)
+        inv_norm = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        vx = vx * inv_norm
+        vy = vy * inv_norm
+        vz = vz * inv_norm
+
+        # Rotate view dir into world by camera quaternion (scalars from SMEM).
+        qw, qx, qy, qz = cam_ref[3], cam_ref[4], cam_ref[5], cam_ref[6]
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        dx = vx + qw * tx + (qy * tz - qz * ty)
+        dy = vy + qw * ty + (qz * tx - qx * tz)
+        dz = vz + qw * tz + (qx * ty - qy * tx)
+
+        ox = jnp.full((bm, LANES), cam_ref[0], jnp.float32)
+        oy = jnp.full((bm, LANES), cam_ref[1], jnp.float32)
+        oz = jnp.full((bm, LANES), cam_ref[2], jnp.float32)
+
+        def bound(px, py, pz):
+            return scene_eval(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+            )
+
+        t, hit, steps = _march_tile(bound, ox, oy, oz, dx, dy, dz, cfg)
+        t_ref[:] = t
+        hit_ref[:] = hit
+        steps_ref[:] = steps
+
+    def march_image(arrays: TapeArrays, cam_vec):
+        grid = (n_pad // tile,)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=grid,
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=_scratch_shapes(spec, bm),
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        ]
+        t, hit, steps = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            jnp.asarray(arrays.tape_ops),
+            jnp.asarray(arrays.tape_arg),
+            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.op_param),
+            jnp.asarray(arrays.leaf_params),
+            jnp.asarray(cam_vec, jnp.float32),
+        )
+        flat = lambda x: x.reshape(-1)[:total]
+        return flat(t), flat(hit), flat(steps).astype(jnp.int32)
+
+    return march_image
+
+
+def make_march_pallas(spec: TapeSpec, cfg: RenderConfig, interpret: bool = False):
+    """Drop-in replacement for ops.march.make_march with the Pallas forward:
+    march(origins, dirs, arrays) -> (t, hit, steps), with the implicit-
+    function VJP (jnp scene eval at hit points) for the backward pass."""
+    from .sdf import make_scene_fn
+
+    pallas_march = make_pallas_ray_march(spec, cfg, interpret)
+    scene = make_scene_fn(spec, cfg)
+
+    @jax.custom_vjp
+    def march(origins, dirs, arrays):
+        return pallas_march(arrays, origins, dirs)
+
+    def march_fwd(origins, dirs, arrays):
+        out = march(origins, dirs, arrays)
+        t, hit, _ = out
+        return out, (origins, dirs, arrays, t, hit)
+
+    def march_bwd(res, cotangents):
+        origins, dirs, arrays, t, hit = res
+        gt = cotangents[0]
+        pos = origins + dirs * t[:, None]
+        _, fdot = jax.jvp(lambda p: scene(p, arrays), (pos,), (dirs,))
+        c = cfg.grad_denom_clamp
+        denom = jnp.where(jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c))
+        w = -gt * hit / denom
+        _, vjp_fn = jax.vjp(lambda p, a: scene(p, a), pos, arrays)
+        gpos, garrays = vjp_fn(w)
+        return gpos, gpos * t[:, None], garrays
+
+    march.defvjp(march_fwd, march_bwd)
+    return march
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_image_render(
+    spec: TapeSpec,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    bm: int = BM,
+):
+    """Fully fused forward renderer: raygen + march + shading + gamma in ONE
+    kernel, RGB out. fn(arrays, cam_vec f32[8]) -> (r, g, b) flat f32[N]
+    arrays in pixel-major ray order; the caller AA-averages.
+
+    Shading matches ops.march.shade / the reference (wgsl:96-130): tetrahedron
+    4-tap normals, Lambertian with fixed light, analytic checkerboard floor on
+    miss, sqrt gamma. Forward-only (the differentiable path pairs the plain
+    march kernel with the implicit VJP and jnp shading).
+    """
+    leaf_rows = _leaf_static_rows(spec)
+    scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm)
+    tile = bm * LANES
+    naa = cfg.aa_samples
+    hw = height * width
+    total = naa * naa * hw
+    n_pad = ((total + tile - 1) // tile) * tile
+    tanf = math.tan(cfg.fovy / 2.0)
+    aspect = width / height
+    lx_, ly_, lz_ = cfg.light_position
+    ax_, ay_, az_ = cfg.albedo
+    fb_r, fb_g, fb_b = cfg.floor_base
+    eps = cfg.normal_eps
+
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, r_ref, g_ref, b_ref, *scratch):
+        pid = pl.program_id(0)
+        base = pid * tile
+        lin = (
+            base
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
+        )
+        S = naa * naa
+        p = lin // S
+        s = lin - p * S
+        i = p // width
+        j = p - i * width
+        a = s // naa
+        b = s - a * naa
+
+        fa = (a.astype(jnp.float32) + 0.5) / naa - 0.5
+        fbo = (b.astype(jnp.float32) + 0.5) / naa - 0.5
+        x = 2.0 * (j.astype(jnp.float32) + 0.5) / width - 1.0 + fa * (2.0 / width)
+        y = 1.0 - 2.0 * (i.astype(jnp.float32) + 0.5) / height + fbo * (2.0 / height)
+
+        vx = x * (tanf * aspect)
+        vy = y * tanf
+        vz = jnp.full((bm, LANES), -1.0, jnp.float32)
+        inv_norm = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        vx = vx * inv_norm
+        vy = vy * inv_norm
+        vz = vz * inv_norm
+
+        qw, qx, qy, qz = cam_ref[3], cam_ref[4], cam_ref[5], cam_ref[6]
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        dx = vx + qw * tx + (qy * tz - qz * ty)
+        dy = vy + qw * ty + (qz * tx - qx * tz)
+        dz = vz + qw * tz + (qx * ty - qy * tx)
+
+        ox = jnp.full((bm, LANES), cam_ref[0], jnp.float32)
+        oy = jnp.full((bm, LANES), cam_ref[1], jnp.float32)
+        oz = jnp.full((bm, LANES), cam_ref[2], jnp.float32)
+
+        def scene(px, py, pz):
+            return scene_eval(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+            )
+
+        t, hit, _steps = _march_tile(scene, ox, oy, oz, dx, dy, dz, cfg)
+
+        # Hit positions (benign origin for non-hit lanes).
+        px = ox + dx * t * hit
+        py = oy + dy * t * hit
+        pz = oz + dz * t * hit
+
+        # Tetrahedron normals: 4 taps (reference wgsl:135-144).
+        nx = dx * 0.0
+        ny = nx
+        nz = nx
+        for kx, ky, kz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0)):
+            dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
+            nx = nx + kx * dval
+            ny = ny + ky * dval
+            nz = nz + kz * dval
+        ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+        nx = nx * ninv
+        ny = ny * ninv
+        nz = nz * ninv
+
+        tlx = px - lx_
+        tly = py - ly_
+        tlz = pz - lz_
+        linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
+        diff = nx * tlx * linv + ny * tly * linv + nz * tlz * linv
+        diff = jnp.maximum(diff, cfg.ambient)
+
+        # Analytic checkerboard floor on miss (reference wgsl:117-128).
+        dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
+        dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
+        ft = (cfg.floor_y - oy) / dy_safe
+        fx = jnp.clip(ox + dx * ft, -1e7, 1e7)
+        fz = jnp.clip(oz + dz * ft, -1e7, 1e7)
+        ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+        ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+        parity = (jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)).astype(jnp.float32)
+        on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+        fcol_r = (fb_r + cfg.floor_checker * parity) * on_floor
+        fcol_g = (fb_g + cfg.floor_checker * parity) * on_floor
+        fcol_b = (fb_b + cfg.floor_checker * parity) * on_floor
+
+        miss = 1.0 - hit
+        cr = hit * (ax_ * diff) + miss * fcol_r
+        cg = hit * (ay_ * diff) + miss * fcol_g
+        cb = hit * (az_ * diff) + miss * fcol_b
+
+        # sqrt gamma (wgsl:68).
+        r_ref[:] = jnp.sqrt(jnp.maximum(cr, 0.0) + 1e-12)
+        g_ref[:] = jnp.sqrt(jnp.maximum(cg, 0.0) + 1e-12)
+        b_ref[:] = jnp.sqrt(jnp.maximum(cb, 0.0) + 1e-12)
+
+    def render_rgb(arrays: TapeArrays, cam_vec):
+        grid = (n_pad // tile,)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=grid,
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=_scratch_shapes(spec, bm),
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        ]
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(
+            jnp.asarray(arrays.tape_ops),
+            jnp.asarray(arrays.tape_arg),
+            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.op_param),
+            jnp.asarray(arrays.leaf_params),
+            jnp.asarray(cam_vec, jnp.float32),
+        )
+        flat = lambda v: v.reshape(-1)[:total]
+        return flat(r), flat(g), flat(b)
+
+    return render_rgb

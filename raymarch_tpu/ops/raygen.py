@@ -83,17 +83,20 @@ def raygen_flat(
 ):
     """jnp raygen from flat ray indices -> (origins[N,3], dirs[N,3]).
 
-    Ray index r encodes (aa_sample, row, col): r = s*H*W + i*W + j with
-    s = a*aa_samples + b; a indexes x-offsets, b indexes y-offsets.
-    `width`, `height` are static Python ints.
+    Ray index order is PIXEL-MAJOR: r = (i*W + j)*S + s with S = aa^2 and
+    s = a*aa_samples + b (a indexes x-offsets, b indexes y-offsets). All AA
+    samples of one pixel are adjacent, so a contiguous tile of rays covers a
+    compact pixel neighborhood — step counts within a tile are coherent,
+    which is what makes the march kernel's tile-granularity early exit
+    effective. `width`, `height` are static Python ints.
     """
     n = cfg.aa_samples
-    hw = height * width
+    S = n * n
     r = jnp.asarray(ray_idx)
-    s = r // hw
-    rem = r - s * hw
-    i = rem // width
-    j = rem - i * width
+    p = r // S
+    s = r - p * S
+    i = p // width
+    j = p - i * width
     a = s // n
     b = s - a * n
 

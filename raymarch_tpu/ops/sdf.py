@@ -108,10 +108,85 @@ def leaf_distances(points, spec: TapeSpec, leaf_params):
     return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
 
 
+def _leaf_row_types(spec: TapeSpec):
+    """row -> (leaf_type, rotated) map from the static bank layout."""
+    out = {}
+    for t, start, stop in spec.type_slices:
+        for r in range(start, stop):
+            out[r] = (t, bool(spec.rotated_types[t]))
+    return out
+
+
+def _single_leaf_distance(points, row_params, ltype, rotated):
+    """Distance from points[N,3] to one leaf (row_params f32[12])."""
+    local = points - row_params[4:7]
+    if rotated:
+        local = quat_rotate_inv(row_params[0:4], local)
+    return _LEAF_FNS[ltype](local[None, :, :], row_params[None, :])[0]
+
+
+def _apply_static_tape(spec: TapeSpec, op_param, leaf_fn, max_dist, like):
+    """Unrolled combine phase over the static tape. `leaf_fn(row)` yields a
+    leaf-distance vector/tile; `like` provides shape/dtype for the empty
+    scene. Smooth params come from the dynamic `op_param` (indexed
+    statically), so param edits never recompile."""
+    from . import opcodes as oc_
+
+    stack = []
+    for k, (cop, arg, _slot) in enumerate(spec.static_tape):
+        if cop == oc_.COP_PUSH:
+            stack.append(leaf_fn(arg))
+            continue
+        kp = op_param[k]
+        if cop in (oc_.COP_ROUND, oc_.COP_ONION):
+            a = stack.pop()
+            stack.append(a - kp if cop == oc_.COP_ROUND else jnp.abs(a) - kp)
+            continue
+        b = stack.pop()
+        a = stack.pop()
+        if cop == oc_.COP_UNION:
+            v = jnp.minimum(a, b)
+        elif cop == oc_.COP_INTERSECTION:
+            v = jnp.maximum(a, b)
+        elif cop == oc_.COP_SUBTRACTION:
+            v = jnp.maximum(a, -b)
+        elif cop == oc_.COP_SMOOTH_UNION:
+            v = smooth_min(a, b, kp)
+        elif cop == oc_.COP_SMOOTH_INTERSECTION:
+            v = smooth_max(a, b, kp)
+        elif cop == oc_.COP_SMOOTH_SUBTRACTION:
+            v = smooth_max(a, -b, kp)
+        else:
+            raise ValueError(f"bad static op {cop}")
+        stack.append(v)
+    if not stack:
+        return like * 0.0 + max_dist
+    return stack[0]
+
+
 def make_scene_fn(spec: TapeSpec, cfg: RenderConfig):
     """Build `scene_dist(points[N,3], arrays) -> d[N]` for a given static
     TapeSpec. The returned function is jit-stable across all scenes sharing
-    the spec: runtime edits swap `arrays` only (no recompile)."""
+    the spec: runtime edits swap `arrays` only (no recompile). If the spec
+    carries a static tape, the combine phase is unrolled at trace time and
+    only PUSHed leaves are evaluated."""
+
+    if spec.static_tape is not None:
+        row_types = _leaf_row_types(spec)
+
+        def scene_dist_static(points, arrays: TapeArrays):
+            points = jnp.asarray(points)
+            arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
+
+            def leaf_fn(row):
+                t, rot = row_types[row]
+                return _single_leaf_distance(points, arrays.leaf_params[row], t, rot)
+
+            return _apply_static_tape(
+                spec, arrays.op_param, leaf_fn, cfg.max_dist, points[:, 0]
+            )
+
+        return scene_dist_static
 
     S = spec.stack_depth
 

@@ -193,6 +193,14 @@ class TapeSpec:
     # Per-type flag: does any leaf of this type carry a non-identity rotation?
     # (static so the unrotated fast path can skip quaternion math)
     rotated_types: tuple[int, ...]
+    # Optional STATIC combine tape: ((cop, arg, slot), ...) baked into the
+    # compiled program. When set, evaluators unroll the combine phase into
+    # straight-line code (no lax.switch, no value-stack memory) — the fastest
+    # path. Numeric params (geometry, blend radii) stay dynamic, so param
+    # edits still never recompile; only TOPOLOGY edits do. `None` = fully
+    # dynamic tape (any edit is a buffer swap, the reference's
+    # runtime-upload semantics, README.md:7).
+    static_tape: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -309,9 +317,10 @@ def compile_wire(
     tape: np.ndarray,
     *,
     bucket: bool = True,
-    min_leaf_bucket: int = 8,
-    min_instr_bucket: int = 16,
+    min_leaf_bucket: int = 2,
+    min_instr_bucket: int = 8,
     stack_depth: Optional[int] = None,
+    static: bool = False,
 ) -> tuple[TapeSpec, TapeArrays]:
     """Lower a wire tape to the two-phase device program.
 
@@ -392,12 +401,19 @@ def compile_wire(
     # values; the result always lives in slot 0.
     out_slot[n_real:] = sd - 1
 
+    static_tape = None
+    if static:
+        static_tape = tuple(
+            (int(tape_ops[i]), int(tape_arg[i]), int(out_slot[i]))
+            for i in range(n_real)
+        )
     spec = TapeSpec(
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
         n_instr=n_instr,
         stack_depth=sd,
         rotated_types=tuple(rotated_types),
+        static_tape=static_tape,
     )
     arrays = TapeArrays(
         leaf_params=leaf_params,

@@ -1,0 +1,206 @@
+"""Sharded rendering and training: the multi-chip data path.
+
+Parallelization model (SURVEY.md §2.3): rays are embarrassingly parallel, so
+the pixel grid is sharded **by image rows** over the 1-D "rays" mesh axis via
+`shard_map`; the scene (TapeArrays) and camera are replicated. Each device
+renders its own row band — including all AA samples of its pixels, so the AA
+average never crosses devices. The ONLY cross-device communication in the
+whole system is the gradient `psum` in the fit step (and a `psum` for the
+scalar loss), which XLA overlaps with the backward pass.
+
+Row bands are padded so every device gets the same number of rows; padded
+rows are cropped from the output and masked out of the loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..ops.march import _gamma, make_march, shade
+from ..ops.raygen import raygen_flat
+from ..ops.sdf import make_scene_fn
+from ..ops.tape import TapeArrays, TapeSpec
+from .mesh import RAY_AXIS
+
+
+def _row_band_indices(i0, rows, width, height, aa_samples):
+    """Flat (pixel-major, see ops.raygen) ray indices for image rows
+    [i0, i0+rows): r = ((i*W + j)*S + s)."""
+    s = aa_samples * aa_samples
+    ri = (i0 + jnp.arange(rows, dtype=jnp.int32))[:, None, None] * (width * s)
+    ci = jnp.arange(width, dtype=jnp.int32)[None, :, None] * s
+    si = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    return (ri + ci + si).reshape(-1)
+
+
+def _local_renderer(spec, width, height, cfg, mode, backend):
+    """Per-device row-band renderer: (arrays, camera, i0, rows) -> [rows,W,3]."""
+    scene = make_scene_fn(spec, cfg)
+    if backend == "pallas":
+        from ..ops.pallas_march import make_march_pallas
+
+        march = make_march_pallas(spec, cfg)
+    else:
+        march = make_march(spec, cfg, mode)
+    s = cfg.aa_samples * cfg.aa_samples
+
+    def render_band(arrays, camera, i0, rows):
+        idx = _row_band_indices(i0, rows, width, height, cfg.aa_samples)
+        origins, dirs = raygen_flat(
+            idx, camera.position, camera.rotation, width, height, cfg
+        )
+        t, hit, _ = march(origins, dirs, arrays)
+        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        color = _gamma(color)
+        return color.reshape(rows, width, s, 3).mean(axis=2)
+
+    return render_band
+
+
+def make_sharded_renderer(
+    spec: TapeSpec,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    mode: str = "forward",
+    backend: str = "jnp",
+):
+    """`render(arrays, camera) -> image[H,W,3]`, row-sharded over the mesh.
+
+    The scene and camera are replicated; the output image is sharded by rows
+    (gathered implicitly when the caller materializes it).
+    """
+    n = mesh.shape[RAY_AXIS]
+    rows_per = -(-height // n)  # ceil
+    h_pad = rows_per * n
+    render_band = _local_renderer(spec, width, height, cfg, mode, backend)
+
+    def local_fn(arrays, camera):
+        d = jax.lax.axis_index(RAY_AXIS)
+        return render_band(arrays, camera, d * rows_per, rows_per)
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(RAY_AXIS, None, None),
+        check_rep=False,
+    )
+
+    def render(arrays: TapeArrays, camera):
+        img = sharded(arrays, camera)
+        return img[:height] if h_pad != height else img
+
+    return render
+
+
+def make_fit_step(
+    spec: TapeSpec,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    optimizer,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    mode: str = "implicit",
+    backend: str = "jnp",
+    fit_camera: bool = False,
+    grad_mask=None,
+):
+    """Build a pjit-able distributed training step for inverse rendering
+    (BASELINE config 3: fit primitive params / blend radii to a target image
+    by pixel-loss gradients).
+
+    step(arrays, camera, opt_state, target[H,W,3]) ->
+        (new_arrays, new_camera, new_opt_state, loss)
+
+    Inside shard_map each device computes the gradient of ITS row band's
+    summed squared error w.r.t. the replicated parameters, then `psum`s
+    gradients and loss over the mesh — the all-reduce is the only
+    communication and overlaps with the backward pass under XLA's scheduler.
+    """
+    n = mesh.shape[RAY_AXIS]
+    rows_per = -(-height // n)
+    render_band = _local_renderer(spec, width, height, cfg, mode, backend)
+    denom = float(height * width * 3)
+
+    def local_value_and_grad(arrays, camera, target_band, i0, rows_valid):
+        def local_loss(diff_params):
+            la, cam = diff_params
+            a = dataclasses.replace(
+                arrays, leaf_params=la[0], op_param=la[1]
+            )
+            img = render_band(a, cam if fit_camera else camera, i0, rows_per)
+            row_mask = (
+                jnp.arange(rows_per, dtype=jnp.int32) < rows_valid
+            ).astype(img.dtype)[:, None, None]
+            return jnp.sum(row_mask * (img - target_band) ** 2) / denom
+
+        diff = ((arrays.leaf_params, arrays.op_param), camera)
+        loss, grads = jax.value_and_grad(local_loss)(diff)
+        return loss, grads
+
+    def local_fn(arrays, camera, target_band):
+        # target_band is this device's row shard of the (padded) target.
+        d = jax.lax.axis_index(RAY_AXIS)
+        i0 = d * rows_per
+        rows_valid = jnp.clip(height - i0, 0, rows_per)
+        loss, grads = local_value_and_grad(arrays, camera, target_band, i0, rows_valid)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        return loss, grads
+
+    # Target comes in row-sharded; params/camera replicated; outputs replicated.
+    sharded_grads = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS, None, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+
+    def pad_target(target):
+        h_pad = rows_per * n
+        if h_pad != height:
+            target = jnp.pad(target, ((0, h_pad - height), (0, 0), (0, 0)))
+        return target
+
+    def step(arrays: TapeArrays, camera, opt_state, target):
+        loss, grads = sharded_grads(arrays, camera, pad_target(target))
+        (g_leaf, g_op), g_cam = grads
+        if grad_mask is not None:
+            # Restrict the fit to selected parameters (adaptive optimizers
+            # otherwise take full-size steps along noise directions of
+            # parameters the user never meant to move).
+            m_leaf, m_op = grad_mask
+            g_leaf = g_leaf * jnp.asarray(m_leaf, g_leaf.dtype)
+            g_op = g_op * jnp.asarray(m_op, g_op.dtype)
+        params = (arrays.leaf_params, arrays.op_param)
+        updates, opt_state = optimizer.update((g_leaf, g_op), opt_state, params)
+        new_leaf, new_op = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates
+        )
+        new_arrays = dataclasses.replace(
+            arrays, leaf_params=new_leaf, op_param=new_op
+        )
+        new_camera = camera
+        if fit_camera:
+            # Plain SGD on the pose (separate, tiny state).
+            new_camera = jax.tree_util.tree_map(
+                lambda c, g: c - 1e-2 * g, camera, g_cam
+            )
+        return new_arrays, new_camera, opt_state, loss
+
+    def init_opt_state(arrays: TapeArrays):
+        return optimizer.init((arrays.leaf_params, arrays.op_param))
+
+    step.init_opt_state = init_opt_state
+    return step

@@ -151,6 +151,23 @@ class TestDeviceEquivalence:
         d_device = np.asarray(scene_fn(jnp.asarray(p), arrays))
         np.testing.assert_allclose(d_device, d_oracle, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("name", ["csg_mix", "smooth", "rotated", "deep"])
+    def test_scene_static_tape(self, name, rng):
+        """static=True (unrolled combine) matches the oracle too."""
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.sdf import make_scene_fn
+
+        scene_node = self.SCENES[name]
+        p = pts(rng, n=128)
+        d_oracle = oracle.eval_tape(encode_wire(scene_node), p)
+        spec, arrays = compile_scene(scene_node, static=True)
+        assert spec.static_tape is not None
+        scene_fn = jax.jit(make_scene_fn(spec, DEFAULT_CONFIG))
+        d_device = np.asarray(scene_fn(jnp.asarray(p), arrays))
+        np.testing.assert_allclose(d_device, d_oracle, rtol=1e-4, atol=1e-5)
+
     def test_empty_scene_device(self, rng):
         import jax
         import jax.numpy as jnp

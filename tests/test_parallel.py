@@ -1,0 +1,140 @@
+"""Sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4):
+sharded-vs-single-device image equality, psum'd gradients, fit convergence.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raymarch_tpu as rm
+from raymarch_tpu import RenderConfig
+from raymarch_tpu.parallel import make_fit_step, make_mesh, make_sharded_renderer
+
+CFG = RenderConfig(aa_samples=2, max_iter=48)
+
+SCENE = rm.sphere(center=(0.0, 0.0, 0.0), radius=1.0) | rm.plane(
+    normal=(0, 1, 0), offset=1.5
+)
+CAM = rm.Camera.looking_at(position=(0.0, 1.0, 4.0), target=(0, 0, 0))
+
+
+@pytest.fixture(scope="module")
+def compiled():
+    return rm.compile_scene(SCENE)
+
+
+class TestShardedRender:
+    def test_eight_devices_available(self):
+        import jax
+
+        assert len(jax.devices()) == 8
+
+    @pytest.mark.parametrize("height", [32, 36])  # 36: not divisible by 8
+    def test_sharded_equals_single(self, compiled, height):
+        import jax
+
+        spec, arrays = compiled
+        W = 32
+        mesh = make_mesh(8)
+        sharded = jax.jit(make_sharded_renderer(spec, W, height, mesh, CFG))
+        img_s = np.asarray(sharded(arrays, CAM))
+        single = jax.jit(rm.make_renderer(spec, W, height, CFG, mode="forward"))
+        img_1 = np.asarray(single(arrays, CAM))
+        assert img_s.shape == img_1.shape == (height, W, 3)
+        np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+    def test_mesh_subsets(self, compiled):
+        """Same image on 1, 2, 4, 8-device meshes (scaling correctness)."""
+        import jax
+
+        spec, arrays = compiled
+        W = H = 16
+        imgs = []
+        for n in (1, 2, 4, 8):
+            mesh = make_mesh(n)
+            r = jax.jit(make_sharded_renderer(spec, W, H, mesh, CFG))
+            imgs.append(np.asarray(r(arrays, CAM)))
+        for i in imgs[1:]:
+            np.testing.assert_allclose(i, imgs[0], atol=1e-5)
+
+
+class TestDistributedFit:
+    def test_grads_match_single_device(self, compiled):
+        """psum'd sharded gradient == single-device gradient of the same
+        global loss."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        spec, arrays = compiled
+        W = H = 16
+        target = jnp.full((H, W, 3), 0.3, jnp.float32)
+
+        mesh = make_mesh(8)
+        opt = optax.sgd(0.0)  # lr 0: step returns grads' effect only via loss
+        step = make_fit_step(spec, W, H, mesh, opt, CFG)
+        opt_state = step.init_opt_state(arrays)
+        _, _, _, loss_sharded = jax.jit(step)(arrays, CAM, opt_state, target)
+
+        render = rm.make_renderer(spec, W, H, CFG, mode="implicit")
+
+        def loss_fn(lp):
+            img = render(dataclasses.replace(arrays, leaf_params=lp), CAM)
+            return jnp.sum((img - target) ** 2) / (H * W * 3)
+
+        loss_single = float(jax.jit(loss_fn)(jnp.asarray(arrays.leaf_params)))
+        assert float(loss_sharded) == pytest.approx(loss_single, rel=1e-4)
+
+        # Gradient comparison.
+        mesh1 = make_mesh(1)
+        step1 = make_fit_step(spec, W, H, mesh1, optax.sgd(1.0), CFG)
+        step8 = make_fit_step(spec, W, H, mesh, optax.sgd(1.0), CFG)
+        a1, _, _, _ = jax.jit(step1)(arrays, CAM, step1.init_opt_state(arrays), target)
+        a8, _, _, _ = jax.jit(step8)(arrays, CAM, step8.init_opt_state(arrays), target)
+        # f32 + different fusion per mesh layout can flip individual
+        # silhouette rays, so agreement is to ~1e-3 absolute on the update,
+        # not bitwise.
+        np.testing.assert_allclose(
+            np.asarray(a1.leaf_params), np.asarray(a8.leaf_params), atol=1e-3
+        )
+
+    def test_fit_recovers_sphere_center(self, compiled):
+        """BASELINE config 3 (miniature): recover a perturbed sphere center
+        from the target image by distributed, grad-masked gradient descent.
+
+        The fit is masked to the perturbed parameter: without edge-aware
+        gradients (silhouette coverage has no AD term), unmasked adaptive
+        optimizers walk noise directions of untouched parameters."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        spec, arrays = compiled
+        W = H = 24
+        mesh = make_mesh(8)
+        render = jax.jit(make_sharded_renderer(spec, W, H, mesh, CFG))
+        target = jnp.asarray(render(arrays, CAM))  # ground truth: cx = 0.0
+
+        lp0 = arrays.leaf_params.copy()
+        lp0[0, 4] = 0.15  # perturb sphere center x
+        arrays0 = dataclasses.replace(arrays, leaf_params=lp0)
+
+        m_leaf = np.zeros_like(arrays.leaf_params)
+        m_leaf[0, 4] = 1.0
+        m_op = np.zeros_like(arrays.op_param)
+
+        opt = optax.adam(1e-2)
+        fit = make_fit_step(
+            spec, W, H, mesh, opt, CFG, grad_mask=(m_leaf, m_op)
+        )
+        step = jax.jit(fit)
+        opt_state = fit.init_opt_state(arrays0)
+
+        a, cam, losses = arrays0, CAM, []
+        for _ in range(40):
+            a, cam, opt_state, loss = step(a, cam, opt_state, target)
+            losses.append(float(loss))
+        cx = float(np.asarray(a.leaf_params)[0, 4])
+        assert abs(cx) < 0.05, cx
+        assert losses[-1] < losses[0]
