@@ -8,19 +8,30 @@ across TPU pod slices. See SURVEY.md for the reference analysis and
 ARCHITECTURE.md for the design.
 """
 
+from . import io, native
 from .config import DEFAULT_CONFIG, RenderConfig
-from .models import csg
+from .fit import fit_scene
+from .models import csg, graph
 from .models.csg import box, plane, sphere, torus
+from .models.graph import CSGNodeGraph
 from .ops import oracle
 from .ops.march import make_march, make_renderer, render_rays
 from .ops.raygen import camera_rays_np, raygen_flat
 from .ops.sdf import make_scene_fn
 from .ops.tape import TapeArrays, TapeSpec, compile_scene, compile_wire, encode_wire
 from .utils.camera import Camera, OrbitCameraController
+from .utils.stats import MarchStats, march_stats
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "io",
+    "native",
+    "fit_scene",
+    "graph",
+    "CSGNodeGraph",
+    "MarchStats",
+    "march_stats",
     "DEFAULT_CONFIG",
     "RenderConfig",
     "csg",
