@@ -44,7 +44,12 @@ def main():
 
     import raymarch_tpu as rm
 
-    cfg = rm.DEFAULT_CONFIG  # 4x4 AA = 16 rays/px, max_iter=100 (reference spec)
+    import dataclasses as _dc
+
+    cfg0 = rm.DEFAULT_CONFIG  # 4x4 AA = 16 rays/px, max_iter=100 (reference spec)
+    # Headline config adds the bounding-sphere march acceleration (exact
+    # modulo grazing-threshold sample sensitivity; see tests/test_bound_accel).
+    cfg = _dc.replace(cfg0, bound_accel=True)
     scene = scene_config2(rm)
     cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0.0, 0.0, 0.0))
     n_rays = WIDTH * HEIGHT * cfg.aa_samples**2
@@ -75,6 +80,16 @@ def main():
     print(
         f"fused fwd render (static tape): {dt_fused*1e3:.1f} ms/frame, "
         f"{fwd_rays_per_s/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: no-accel (reference march semantics) --------------------
+    rgb_na = make_pallas_image_render(spec_s, cfg0, WIDTH, HEIGHT)
+    fused_na = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb_na(a, c)])
+    dt_na, _ = timeit(fused_na, arrays_s, cam_vec)
+    print(
+        f"fused fwd render (no accel): {dt_na*1e3:.1f} ms/frame, "
+        f"{n_rays/dt_na/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
 

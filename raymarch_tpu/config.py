@@ -58,5 +58,19 @@ class RenderConfig:
     # CSG evaluation.
     stack_depth: int = 32
 
+    # Over-relaxed sphere tracing (Keinert et al. 2014): step omega*d with a
+    # per-ray fallback to plain stepping when consecutive safe spheres fail
+    # to overlap, which keeps hits exact. 1.0 = classic sphere tracing
+    # (reference semantics); ~1.4-1.6 cuts step counts 20-40% on typical
+    # scenes. Pallas kernels only.
+    relax: float = 1.0
+
+    # Bounding-sphere march acceleration (Pallas kernels): rays missing a
+    # conservative scene bound skip the march; the rest start at the bound
+    # entry and escape at its exit. Exact (hit/t unchanged) — only step
+    # counts drop. Auto-disables for unbounded scenes (planes). Off by
+    # default so step statistics match the reference's march semantics.
+    bound_accel: bool = False
+
 
 DEFAULT_CONFIG = RenderConfig()

@@ -179,7 +179,9 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
     return scene_eval
 
 
-def _march_tile(scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig):
+def _march_tile(
+    scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig, bound=None
+):
     """Masked sphere tracing for one tile; returns (t, hit, steps) f32 tiles.
 
     All loop-carried state is f32 ({0,1} masks as floats) and every carried
@@ -188,8 +190,84 @@ def _march_tile(scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig):
     broadcast constants and then fails with "Invalid relayout: ... replicated
     in destination but not in source" when the loop body produces a normal
     (non-replicated) layout for the same carry slot.
+
+    `bound` = (bcx, bcy, bcz, bR, bvalid) scalars: a conservative scene
+    bounding sphere (see `compute_bound`). Rays missing it never march
+    (0 scene evals); the rest start at the bound entry and escape at its
+    exit. With bvalid == 0 (or bound=None) behavior is exactly the plain
+    march, so hit/t results are identical either way — the bound is
+    conservative and the SDF is globally valid outside the surface.
     """
     zero = dx * 0.0  # dx is data/iota-derived in both kernels (never replicated)
+
+    t_init = zero
+    live_init = zero + 1.0
+    # No t-based escape unless the bound is active (the reference escapes on
+    # d > max_dist only; e.g. plane scenes march with small d while t grows).
+    t_cap = zero + 3.0e38
+    if bound is not None:
+        bcx, bcy, bcz, br, bvalid = bound
+        ocx = ox - bcx
+        ocy = oy - bcy
+        ocz = oz - bcz
+        bq = dx * ocx + dy * ocy + dz * ocz
+        c2 = ocx * ocx + ocy * ocy + ocz * ocz - br * br
+        disc = bq * bq - c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_enter = -bq - sq
+        t_exit = -bq + sq
+        hit_bound = jnp.where(
+            jnp.logical_and(disc > 0.0, t_exit > 0.0), live_init, 0.0
+        )
+        use = bvalid > 0.0  # traced scalar -> jnp.where on tiles
+        live_init = jnp.where(use, hit_bound, live_init)
+        t_init = jnp.where(use, jnp.maximum(t_enter, 0.0) * hit_bound, t_init)
+        t_cap = jnp.where(use, t_exit + cfg.min_dist, t_cap)
+
+    if cfg.relax > 1.0:
+        # Over-relaxed sphere tracing (Keinert et al. 2014, alg. 2): step
+        # omega*d; if the consecutive safe spheres stop overlapping
+        # (d + d_prev < step), the relaxed step overshot — step back and
+        # drop that ray to omega=1 for the rest of the march. Hits are
+        # detected only at non-overshot samples, so results stay exact
+        # sphere tracing (modulo sample-sequence sensitivity at grazing).
+        def cond_r(state):
+            k, _, _, _, _, live, _, _ = state
+            return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
+
+        def body_r(state):
+            k, t, prev_r, step_len, omega, live, hit, steps = state
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+            d = scene_eval_bound(px, py, pz)
+            fail = jnp.where(
+                jnp.logical_and(omega > 1.0, d + prev_r < step_len), live, 0.0
+            )
+            ok = live - fail
+            new_step = jnp.where(fail > 0.0, (1.0 - cfg.relax) * step_len, omega * d)
+            omega2 = jnp.where(fail > 0.0, 1.0, omega)
+            hit_now = jnp.where(d < cfg.min_dist, ok, 0.0)
+            escaped = jnp.where(
+                jnp.logical_or(d > cfg.max_dist, t > t_cap), ok, 0.0
+            )
+            escaped = escaped - escaped * hit_now
+            live2 = live - hit_now - escaped
+            t2 = t + new_step * live2
+            return (k + 1, t2, d, new_step, omega2, live2, hit + hit_now, steps + live)
+
+        state = (
+            jnp.int32(0),
+            t_init,
+            zero,  # prev_radius
+            zero,  # step_length
+            zero + cfg.relax,  # per-ray omega
+            live_init,
+            zero,
+            zero,
+        )
+        _, t, _, _, _, _, hit, steps = jax.lax.while_loop(cond_r, body_r, state)
+        return t, hit, steps
 
     def cond(state):
         k, _, live, _, _ = state
@@ -202,14 +280,69 @@ def _march_tile(scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig):
         pz = oz + dz * t
         d = scene_eval_bound(px, py, pz)
         hit_now = jnp.where(d < cfg.min_dist, live, 0.0)
-        escaped = jnp.where(d > cfg.max_dist, live, 0.0)
+        escaped = jnp.where(
+            jnp.logical_or(d > cfg.max_dist, t > t_cap), live, 0.0
+        )
+        escaped = escaped - escaped * hit_now  # hit wins on the boundary
         live2 = live - hit_now - escaped
         t2 = t + d * live2
         return (k + 1, t2, live2, hit + hit_now, steps + live)
 
-    state = (jnp.int32(0), zero, zero + 1.0, zero, zero)
+    state = (jnp.int32(0), t_init, live_init, zero, zero)
     _, t, _, hit, steps = jax.lax.while_loop(cond, body, state)
     return t, hit, steps
+
+
+def compute_bound(spec: TapeSpec, arrays: TapeArrays):
+    """Conservative scene bounding sphere -> f32[8] = (cx,cy,cz,R,valid,0,0,0).
+
+    Built from the leaf banks with jnp ops (so runtime edits update it with
+    no recompilation). Per-leaf conservative radius: sphere r; box |he|;
+    torus R+r. Smooth/round/onion op params can push the surface outward, so
+    the sum of |op_param| is added. Planes are unbounded => valid=0 and the
+    acceleration disables itself. Subtraction/intersection only shrink.
+    """
+    import numpy as _np
+
+    rows = []  # (row, leaf_type)
+    if spec.static_tape is not None:
+        pushed = {arg for cop, arg, _ in spec.static_tape if cop == oc.COP_PUSH}
+    else:
+        pushed = None
+    has_plane = False
+    for t, start, stop in spec.type_slices:
+        for r in range(start, stop):
+            if pushed is not None and r not in pushed:
+                continue
+            if t == oc.LEAF_PLANE:
+                has_plane = True
+            rows.append((r, t))
+
+    lp = jnp.asarray(arrays.leaf_params)
+    if not rows or has_plane:
+        return jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+
+    idx = _np.asarray([r for r, _ in rows])
+    types = _np.asarray([t for _, t in rows])
+    centers = lp[idx, 4:7]
+    r_sphere = lp[idx, 7]
+    r_box = jnp.sqrt(jnp.sum(lp[idx, 7:10] ** 2, axis=-1))
+    r_torus = lp[idx, 7] + lp[idx, 8]
+    radii = jnp.where(
+        jnp.asarray(types == oc.LEAF_SPHERE),
+        r_sphere,
+        jnp.where(jnp.asarray(types == oc.LEAF_BOX), r_box, r_torus),
+    )
+    center = jnp.mean(centers, axis=0)
+    expand = jnp.sum(jnp.abs(jnp.asarray(arrays.op_param)))
+    radius = (
+        jnp.max(jnp.sqrt(jnp.sum((centers - center) ** 2, axis=-1)) + radii)
+        + expand
+        + 0.05
+    )
+    return jnp.concatenate(
+        [center, radius[None], jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)]
+    ).astype(jnp.float32)
 
 
 def _scratch_shapes(spec: TapeSpec, bm: int = BM):
@@ -231,16 +364,21 @@ def make_pallas_ray_march(
     scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm)
     tile = bm * LANES
 
-    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, rays_ref, t_ref, hit_ref, steps_ref, *scratch):
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, rays_ref, t_ref, hit_ref, steps_ref, *scratch):
         ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
         dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
 
-        def bound(px, py, pz):
+        def scene(px, py, pz):
             return scene_eval(
                 lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
             )
 
-        t, hit, steps = _march_tile(bound, ox, oy, oz, dx, dy, dz, cfg)
+        bnd = (
+            (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            if cfg.bound_accel
+            else None
+        )
+        t, hit, steps = _march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, bnd)
         t_ref[:] = t
         hit_ref[:] = hit
         steps_ref[:] = steps
@@ -258,7 +396,7 @@ def make_pallas_ray_march(
         grid = (n_pad // tile,)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -288,6 +426,7 @@ def make_pallas_ray_march(
             jnp.asarray(arrays.out_slot),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
+            compute_bound(spec, arrays),
             rays,
         )
         flat = lambda x: x.reshape(-1)[:n]
@@ -318,7 +457,7 @@ def make_pallas_image_march(
     tanf = math.tan(cfg.fovy / 2.0)
     aspect = width / height
 
-    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, t_ref, hit_ref, steps_ref, *scratch):
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref, t_ref, hit_ref, steps_ref, *scratch):
         pid = pl.program_id(0)
         base = pid * tile
         lin = (
@@ -370,12 +509,17 @@ def make_pallas_image_march(
         oy = jnp.full((bm, LANES), cam_ref[1], jnp.float32)
         oz = jnp.full((bm, LANES), cam_ref[2], jnp.float32)
 
-        def bound(px, py, pz):
+        def scene(px, py, pz):
             return scene_eval(
                 lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
             )
 
-        t, hit, steps = _march_tile(bound, ox, oy, oz, dx, dy, dz, cfg)
+        bnd = (
+            (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            if cfg.bound_accel
+            else None
+        )
+        t, hit, steps = _march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, bnd)
         t_ref[:] = t
         hit_ref[:] = hit
         steps_ref[:] = steps
@@ -383,7 +527,7 @@ def make_pallas_image_march(
     def march_image(arrays: TapeArrays, cam_vec):
         grid = (n_pad // tile,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[],
             out_specs=[
@@ -409,6 +553,7 @@ def make_pallas_image_march(
             jnp.asarray(arrays.out_slot),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
+            compute_bound(spec, arrays),
             jnp.asarray(cam_vec, jnp.float32),
         )
         flat = lambda x: x.reshape(-1)[:total]
@@ -483,7 +628,7 @@ def make_pallas_image_render(
     fb_r, fb_g, fb_b = cfg.floor_base
     eps = cfg.normal_eps
 
-    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, r_ref, g_ref, b_ref, *scratch):
+    def kernel(ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref, r_ref, g_ref, b_ref, *scratch):
         pid = pl.program_id(0)
         base = pid * tile
         lin = (
@@ -529,7 +674,12 @@ def make_pallas_image_render(
                 lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
             )
 
-        t, hit, _steps = _march_tile(scene, ox, oy, oz, dx, dy, dz, cfg)
+        bnd = (
+            (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            if cfg.bound_accel
+            else None
+        )
+        t, hit, _steps = _march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, bnd)
 
         # Hit positions (benign origin for non-hit lanes).
         px = ox + dx * t * hit
@@ -584,7 +734,7 @@ def make_pallas_image_render(
     def render_rgb(arrays: TapeArrays, cam_vec):
         grid = (n_pad // tile,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[],
             out_specs=[
@@ -610,6 +760,7 @@ def make_pallas_image_render(
             jnp.asarray(arrays.out_slot),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
+            compute_bound(spec, arrays),
             jnp.asarray(cam_vec, jnp.float32),
         )
         flat = lambda v: v.reshape(-1)[:total]
