@@ -193,9 +193,15 @@ def make_fit_step(
         )
         new_camera = camera
         if fit_camera:
-            # Plain SGD on the pose (separate, tiny state).
+            # Plain SGD on the pose (separate, tiny state); keep the
+            # rotation on the unit-quaternion manifold.
             new_camera = jax.tree_util.tree_map(
                 lambda c, g: c - 1e-2 * g, camera, g_cam
+            )
+            q = new_camera.rotation
+            new_camera = dataclasses.replace(
+                new_camera,
+                rotation=q / jnp.maximum(jnp.linalg.norm(q), 1e-8),
             )
         return new_arrays, new_camera, opt_state, loss
 
