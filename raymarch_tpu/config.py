@@ -58,6 +58,13 @@ class RenderConfig:
     # CSG evaluation.
     stack_depth: int = 32
 
+    # March early-exit check interval (Pallas kernels): the "any ray still
+    # live" reduction + scalar branch stalls the VPU pipeline, so it runs
+    # every K iterations with K pure masked vector steps in between. Masked
+    # lanes do cheap no-op work; a tile does at most K-1 extra (masked)
+    # scene evals past its natural exit. 1 = check every step.
+    exit_check_every: int = 1
+
     # Over-relaxed sphere tracing (Keinert et al. 2014): step omega*d with a
     # per-ray fallback to plain stepping when consecutive safe spheres fail
     # to overlap, which keeps hits exact. 1.0 = classic sphere tracing

@@ -273,20 +273,35 @@ def _march_tile(
         k, _, live, _, _ = state
         return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
 
-    def body(state):
+    def step(state):
         k, t, live, hit, steps = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
         d = scene_eval_bound(px, py, pz)
-        hit_now = jnp.where(d < cfg.min_dist, live, 0.0)
+        # act: live rays within the iteration budget (the inner K-block can
+        # run past max_iter; those steps must be no-ops for exact parity
+        # with the reference's <= max_iter evaluations).
+        act = jnp.where(k < cfg.max_iter, live, live * 0.0)
+        hit_now = jnp.where(d < cfg.min_dist, act, 0.0)
         escaped = jnp.where(
-            jnp.logical_or(d > cfg.max_dist, t > t_cap), live, 0.0
+            jnp.logical_or(d > cfg.max_dist, t > t_cap), act, 0.0
         )
         escaped = escaped - escaped * hit_now  # hit wins on the boundary
-        live2 = live - hit_now - escaped
-        t2 = t + d * live2
-        return (k + 1, t2, live2, hit + hit_now, steps + live)
+        advance = act - hit_now - escaped
+        t2 = t + d * advance
+        return (k + 1, t2, live - hit_now - escaped, hit + hit_now, steps + act)
+
+    K = max(1, int(cfg.exit_check_every))
+
+    if K == 1:
+        body = step
+    else:
+        # Amortize the exit-check reduction + scalar branch over K pure
+        # vector steps (masked lanes are no-ops, so extra steps are cheap;
+        # the reduction stall is not).
+        def body(state):
+            return jax.lax.fori_loop(0, K, lambda _, s: step(s), state)
 
     state = (jnp.int32(0), t_init, live_init, zero, zero)
     _, t, _, hit, steps = jax.lax.while_loop(cond, body, state)
