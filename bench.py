@@ -4,15 +4,20 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/1e9}
 (baseline = BASELINE.json north-star target of 1e9 rays/s/chip forward.)
 
-Headline: the fully fused Pallas render kernel (in-kernel raygen + march +
-shading + gamma) on a static-tape compile of the multi-primitive CSG scene
-(sphere/box/torus, union + subtraction; floor rendered analytically on miss,
-exactly as the reference does). Secondary numbers go to stderr: dynamic-tape
-(zero-recompile-edit) render, march-only, and fwd+bwd.
+Headline: the cone-prepass fused Pallas renderer (coarse cone march shared by
+all 16 AA rays of a pixel + fused raygen/march/shade/AA-mean fine kernel) on
+a static-tape compile of the multi-primitive CSG scene (sphere/box/torus,
+union + subtraction; floor rendered analytically on miss, exactly as the
+reference does). Secondary numbers go to stderr: plain fused kernel (strict
+per-AA-ray reference march semantics), dynamic-tape (zero-recompile-edit)
+render, march-only + stats, and fwd+bwd.
 
-Timing protocol: the timed jit returns on-device scalar checksums only
-(block_until_ready through the axon tunnel does not reliably fence, and
-materializing full images would time the 24MB host transfer instead).
+Timing protocol: THROUGHPUT — each measurement dispatches `FRAMES` async
+frames and syncs once on the final on-device scalar checksum, which is how a
+renderer actually runs (frames pipelined, not one blocking round-trip per
+frame). This machine reaches the TPU through a network tunnel whose one-way
+sync costs ~30 ms, which would otherwise dominate and mismeasure a ~15 ms
+frame; per-dispatch latency is reported separately to stderr.
 """
 
 import json
@@ -26,6 +31,7 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_RAYS_PER_S = 1e9
+FRAMES = 20
 
 
 def scene_config2(rm):
@@ -47,59 +53,96 @@ def main():
     import dataclasses as _dc
 
     cfg0 = rm.DEFAULT_CONFIG  # 4x4 AA = 16 rays/px, max_iter=100 (reference spec)
-    # Headline config adds the bounding-sphere march acceleration (exact
-    # modulo grazing-threshold sample sensitivity; see tests/test_bound_accel).
-    cfg = _dc.replace(cfg0, bound_accel=True)
+    # Headline config adds the bounding-sphere march acceleration and an
+    # amortized early-exit check (both exact modulo grazing-threshold sample
+    # sensitivity; see tests/test_bound_accel, tests/test_prepass).
+    cfg = _dc.replace(cfg0, bound_accel=True, exit_check_every=4)
     scene = scene_config2(rm)
     cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0.0, 0.0, 0.0))
     n_rays = WIDTH * HEIGHT * cfg.aa_samples**2
 
-    def timeit(fn, *args, warmup=2, iters=5):
+    def sync(out):
+        return jax.tree_util.tree_map(
+            lambda x: float(np.asarray(x).ravel()[0]), out
+        )
+
+    def timeit(fn, *args, warmup=2, frames=FRAMES, reps=3):
+        """Pipelined throughput: `frames` async dispatches, one sync."""
+        out = None
         for _ in range(warmup):
             out = fn(*args)
-            jax.tree_util.tree_map(lambda x: float(np.asarray(x).ravel()[0]), out)
+        sync(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(frames):
+                out = fn(*args)
+            sync(out)  # drains the pipeline
+            best = min(best, (time.perf_counter() - t0) / frames)
+        return best, out
+
+    def timeit_latency(fn, *args, warmup=2, iters=5):
+        """Single-frame latency: dispatch + blocking sync per call."""
+        for _ in range(warmup):
+            sync(fn(*args))
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = fn(*args)
-            jax.tree_util.tree_map(lambda x: float(np.asarray(x).ravel()[0]), out)
+            sync(fn(*args))
             times.append(time.perf_counter() - t0)
-        return min(times), out
+        return min(times)
 
-    # --- headline: fused kernel, static tape --------------------------------
+    # --- headline: cone-prepass fused renderer, static tape -----------------
     spec_s, arrays_s = rm.compile_scene(scene, static=True)
-    from raymarch_tpu.ops.pallas_march import make_pallas_image_render
+    from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
 
-    rgb = make_pallas_image_render(spec_s, cfg, WIDTH, HEIGHT)
+    rnd = make_pallas_image_render_aa(spec_s, cfg, WIDTH, HEIGHT, prepass_block=1)
     cam_vec = jnp.asarray(
         np.concatenate([cam.position, cam.rotation, [0.0]]).astype(np.float32)
     )
-    fused = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb(a, c)])
-    dt_fused, _ = timeit(fused, arrays_s, cam_vec)
-    fwd_rays_per_s = n_rays / dt_fused
+    headline = jax.jit(lambda a, c: jnp.sum(rnd(a, c)))
+    dt_head, _ = timeit(headline, arrays_s, cam_vec)
+    fwd_rays_per_s = n_rays / dt_head
     print(
-        f"fused fwd render (static tape): {dt_fused*1e3:.1f} ms/frame, "
+        f"cone-prepass fused render (static tape): {dt_head*1e3:.2f} ms/frame, "
         f"{fwd_rays_per_s/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+    lat = timeit_latency(headline, arrays_s, cam_vec)
+    print(
+        f"  single-frame latency (incl. tunnel round-trip): {lat*1e3:.1f} ms",
+        file=sys.stderr,
+    )
 
-    # --- secondary: no-accel (reference march semantics) --------------------
+    # --- secondary: plain fused kernel (strict per-AA-ray march) ------------
+    from raymarch_tpu.ops.pallas_march import make_pallas_image_render
+
+    rgb = make_pallas_image_render(spec_s, cfg, WIDTH, HEIGHT)
+    fused = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb(a, c)])
+    dt_fused, _ = timeit(fused, arrays_s, cam_vec)
+    print(
+        f"plain fused render (per-AA-ray march): {dt_fused*1e3:.2f} ms/frame, "
+        f"{n_rays/dt_fused/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: reference march semantics (no accel at all) -------------
     rgb_na = make_pallas_image_render(spec_s, cfg0, WIDTH, HEIGHT)
     fused_na = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb_na(a, c)])
     dt_na, _ = timeit(fused_na, arrays_s, cam_vec)
     print(
-        f"fused fwd render (no accel): {dt_na*1e3:.1f} ms/frame, "
+        f"plain fused render (no accel): {dt_na*1e3:.2f} ms/frame, "
         f"{n_rays/dt_na/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
 
     # --- secondary: dynamic tape (zero-recompile runtime edits) -------------
     spec_d, arrays_d = rm.compile_scene(scene)
-    rgb_d = make_pallas_image_render(spec_d, cfg, WIDTH, HEIGHT)
-    fused_d = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb_d(a, c)])
+    rnd_d = make_pallas_image_render_aa(spec_d, cfg, WIDTH, HEIGHT, prepass_block=1)
+    fused_d = jax.jit(lambda a, c: jnp.sum(rnd_d(a, c)))
     dt_dyn, _ = timeit(fused_d, arrays_d, cam_vec)
     print(
-        f"fused fwd render (dynamic tape): {dt_dyn*1e3:.1f} ms/frame, "
+        f"cone-prepass render (dynamic tape): {dt_dyn*1e3:.2f} ms/frame, "
         f"{n_rays/dt_dyn/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
@@ -116,7 +159,7 @@ def main():
     dt_march, out = timeit(march_fn, arrays_s, cam_vec)
     _, hit_rate, avg_steps = (float(np.asarray(x)) for x in out)
     print(
-        f"march-only: {dt_march*1e3:.1f} ms, {n_rays/dt_march/1e9:.3f} Grays/s, "
+        f"march-only: {dt_march*1e3:.2f} ms, {n_rays/dt_march/1e9:.3f} Grays/s, "
         f"avg steps/ray {avg_steps:.1f}, hit rate {hit_rate:.3f}",
         file=sys.stderr,
     )
@@ -135,7 +178,7 @@ def main():
 
         grad_fn = jax.jit(lambda lp, c: jax.grad(loss)(lp, c))
         lp = jnp.asarray(arrays_s.leaf_params)
-        dt_bwd, _ = timeit(grad_fn, lp, cam, warmup=1, iters=2)
+        dt_bwd, _ = timeit(grad_fn, lp, cam, warmup=1, frames=4, reps=2)
         print(
             f"fwd+bwd: {dt_bwd*1e3:.1f} ms, {n_rays/dt_bwd/1e9:.3f} Grays/s",
             file=sys.stderr,
