@@ -39,6 +39,7 @@ enum : uint32_t {
   OP_SMOOTH_INTERSECTION = 112,
   OP_ROUND = 120,
   OP_ONION = 121,
+  OP_MATERIAL = 130,  // postfix albedo attribute (extension; see opcodes.py)
 };
 
 int param_count(uint32_t op) {
@@ -52,6 +53,7 @@ int param_count(uint32_t op) {
     case OP_UNION: case OP_SUBTRACTION: case OP_INTERSECTION: return 0;
     case OP_SMOOTH_UNION: case OP_SMOOTH_SUBTRACTION:
     case OP_SMOOTH_INTERSECTION: case OP_ROUND: case OP_ONION: return 1;
+    case OP_MATERIAL: return 3;
     default: return -1;
   }
 }
@@ -221,6 +223,8 @@ int32_t tape_eval(const uint32_t* tape, int64_t n_words, const float* points,
         case OP_ONION:
           v = std::fabs(stack[sp - 1]) - par[0];
           break;
+        case OP_MATERIAL:
+          continue;  // attribute only; distances unaffected
         default:
           return -1;
       }

@@ -102,6 +102,27 @@ class CSGNode:
     def onion(self, thickness: float) -> "CSGNode":
         return Onion(self, float(thickness))
 
+    def paint(self, albedo, overwrite: bool = False) -> "CSGNode":
+        """Material system (reference roadmap, README.md:10): return a copy
+        of this subtree with `albedo` (r,g,b) attached to every primitive
+        leaf. Leaves already painted keep their material unless `overwrite`.
+        Materials propagate through CSG ops to the surface that wins each
+        min/max (smooth ops blend them) — see ops.oracle.eval_tape_color."""
+        mat = _vec3(albedo)
+
+        def go(n: CSGNode) -> CSGNode:
+            if isinstance(n, Primitive):
+                if n.material is not None and not overwrite:
+                    return n
+                return dataclasses.replace(n, material=mat)
+            if isinstance(n, BinaryOp):
+                return dataclasses.replace(n, a=go(n.a), b=go(n.b))
+            if isinstance(n, UnaryOp):
+                return dataclasses.replace(n, child=go(n.child))
+            raise TypeError(f"unknown CSG node type: {type(n).__name__}")
+
+        return go(self)
+
 
 # ---------------------------------------------------------------------------
 # Primitives
@@ -120,6 +141,7 @@ class Sphere(Primitive):
 
     center: Vec3 = (0.0, 0.0, 0.0)
     radius: float = 1.0
+    material: Optional[Vec3] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +153,7 @@ class Box(Primitive):
     center: Vec3 = (0.0, 0.0, 0.0)
     half_extents: Vec3 = (1.0, 1.0, 1.0)
     rotation: Quat = math3d.IDENTITY_QUAT
+    material: Optional[Vec3] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +165,7 @@ class Torus(Primitive):
     major_radius: float = 1.0
     minor_radius: float = 0.25
     rotation: Quat = math3d.IDENTITY_QUAT
+    material: Optional[Vec3] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +175,7 @@ class Plane(Primitive):
 
     normal: Vec3 = (0.0, 1.0, 0.0)
     offset: float = 0.0
+    material: Optional[Vec3] = None
 
 
 # ---------------------------------------------------------------------------
@@ -246,13 +271,20 @@ class Scale(Transform):
 # ---------------------------------------------------------------------------
 
 
-def sphere(center=(0.0, 0.0, 0.0), radius: float = 1.0) -> Sphere:
-    return Sphere(_vec3(center), float(radius))
+def _mat(material) -> Optional[Vec3]:
+    return None if material is None else _vec3(material)
 
 
-def box(center=(0.0, 0.0, 0.0), half_extents=(1.0, 1.0, 1.0), rotation=None) -> Box:
+def sphere(center=(0.0, 0.0, 0.0), radius: float = 1.0, material=None) -> Sphere:
+    return Sphere(_vec3(center), float(radius), _mat(material))
+
+
+def box(
+    center=(0.0, 0.0, 0.0), half_extents=(1.0, 1.0, 1.0), rotation=None,
+    material=None,
+) -> Box:
     q = math3d.IDENTITY_QUAT if rotation is None else _quat(rotation)
-    return Box(_vec3(center), _vec3(half_extents), q)
+    return Box(_vec3(center), _vec3(half_extents), q, _mat(material))
 
 
 def torus(
@@ -260,15 +292,18 @@ def torus(
     major_radius: float = 1.0,
     minor_radius: float = 0.25,
     rotation=None,
+    material=None,
 ) -> Torus:
     q = math3d.IDENTITY_QUAT if rotation is None else _quat(rotation)
-    return Torus(_vec3(center), float(major_radius), float(minor_radius), q)
+    return Torus(
+        _vec3(center), float(major_radius), float(minor_radius), q, _mat(material)
+    )
 
 
-def plane(normal=(0.0, 1.0, 0.0), offset: float = 0.0) -> Plane:
+def plane(normal=(0.0, 1.0, 0.0), offset: float = 0.0, material=None) -> Plane:
     n = np.asarray(normal, dtype=np.float64)
     n = n / np.linalg.norm(n)
-    return Plane(_vec3(n), float(offset))
+    return Plane(_vec3(n), float(offset), _mat(material))
 
 
 # ---------------------------------------------------------------------------
@@ -303,21 +338,24 @@ def fold_transforms(node: CSGNode) -> CSGNode:
 
         if isinstance(n, Sphere):
             c = t + s * math3d.quat_rotate(q, n.center)
-            return Sphere(_vec3(c), n.radius * s)
+            return Sphere(_vec3(c), n.radius * s, n.material)
         if isinstance(n, Box):
             c = t + s * math3d.quat_rotate(q, n.center)
             rq = math3d.quat_multiply(q, n.rotation)
             he = tuple(x * s for x in n.half_extents)
-            return Box(_vec3(c), he, _quat(rq))
+            return Box(_vec3(c), he, _quat(rq), n.material)
         if isinstance(n, Torus):
             c = t + s * math3d.quat_rotate(q, n.center)
             rq = math3d.quat_multiply(q, n.rotation)
-            return Torus(_vec3(c), n.major_radius * s, n.minor_radius * s, _quat(rq))
+            return Torus(
+                _vec3(c), n.major_radius * s, n.minor_radius * s, _quat(rq),
+                n.material,
+            )
         if isinstance(n, Plane):
             # s*(dot(R^-1(p-t)/s, n) + h) = dot(p, R@n) + (s*h - dot(t, R@n))
             nn = math3d.quat_rotate(q, n.normal)
             off = s * n.offset - float(np.dot(t, nn))
-            return Plane(_vec3(nn), off)
+            return Plane(_vec3(nn), off, n.material)
 
         if isinstance(n, SmoothBinaryOp):
             return type(n)(go(n.a, q, t, s), go(n.b, q, t, s), n.k * s)

@@ -163,9 +163,14 @@ def calculate_normals(scene, pos, arrays, cfg: RenderConfig):
     return acc / jnp.maximum(norm, 1e-20)
 
 
-def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig):
+def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig,
+          albedo_fn=None):
     """Per-ray linear color (no gamma): Lambertian on hit, checkerboard floor
-    on miss, black otherwise (reference wgsl:96-130)."""
+    on miss, black otherwise (reference wgsl:96-130).
+
+    `albedo_fn(pos, arrays) -> rgb[N,3]` supplies per-hit albedo for scenes
+    with materials (see sdf.make_scene_color_fn); None = the reference's
+    fixed albedo (wgsl:103)."""
     pos = origins + dirs * t[:, None]
     # Double-where: evaluate the hit branch at a benign position for miss
     # rays so their (masked-out) normals can't leak NaN/Inf *gradients*
@@ -179,7 +184,11 @@ def shade(scene, origins, dirs, t, hit, arrays, cfg: RenderConfig):
         jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20
     )
     diffuse = jnp.maximum(cfg.ambient, jnp.sum(normal * to_light, axis=-1))
-    hit_color = jnp.asarray(cfg.albedo, pos.dtype)[None, :] * diffuse[:, None]
+    if albedo_fn is not None:
+        albedo = albedo_fn(pos, arrays)
+    else:
+        albedo = jnp.asarray(cfg.albedo, pos.dtype)[None, :]
+    hit_color = albedo * diffuse[:, None]
 
     dy = dirs[:, 1]
     dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
@@ -211,12 +220,23 @@ def _gamma(color):
     return jnp.sqrt(jnp.maximum(color, 0.0) + 1e-12)
 
 
+def _make_albedo_fn(spec: TapeSpec, cfg: RenderConfig):
+    """Per-hit albedo lookup for scenes with materials, else None (the
+    reference's fixed-albedo path compiles zero extra code)."""
+    if not spec.has_materials:
+        return None
+    from .sdf import make_scene_color_fn
+
+    scene_color = make_scene_color_fn(spec, cfg)
+    return lambda pos, arrays: scene_color(pos, arrays)[1]
+
+
 def render_rays(spec, arrays, origins, dirs, cfg=DEFAULT_CONFIG, mode="implicit"):
     """March + shade + gamma for explicit rays -> color[N,3]."""
     scene = make_scene_fn(spec, cfg)
     march = make_march(spec, cfg, mode)
     t, hit, _ = march(origins, dirs, arrays)
-    color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+    color = shade(scene, origins, dirs, t, hit, arrays, cfg, _make_albedo_fn(spec, cfg))
     return _gamma(color)
 
 
@@ -248,6 +268,7 @@ def make_renderer(
                        second jnp pass.
     """
     scene = make_scene_fn(spec, cfg)
+    albedo_fn = _make_albedo_fn(spec, cfg)
     s = cfg.aa_samples * cfg.aa_samples
     total = s * height * width
 
@@ -296,7 +317,7 @@ def make_renderer(
         origins, dirs = raygen_flat(
             idx, camera.position, camera.rotation, width, height, cfg
         )
-        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        color = shade(scene, origins, dirs, t, hit, arrays, cfg, albedo_fn)
         return _gamma(color)
 
     if backend == "pallas_image":
@@ -331,7 +352,7 @@ def make_renderer(
             idx, camera.position, camera.rotation, width, height, cfg
         )
         t, hit, _ = checkpoint_name(march(origins, dirs, arrays), "march")
-        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        color = shade(scene, origins, dirs, t, hit, arrays, cfg, albedo_fn)
         return _gamma(color)
 
     # For chunked differentiable rendering, rematerialize everything except

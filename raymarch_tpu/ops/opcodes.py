@@ -39,6 +39,14 @@ OP_SMOOTH_INTERSECTION = 112  # k
 OP_ROUND = 120  # radius
 OP_ONION = 121  # thickness
 
+# --- Wire opcodes: attributes ----------------------------------------------
+# Postfix attribute: attaches an albedo (r,g,b) to the most recently emitted
+# primitive. The reference's README lists a material system as roadmap
+# (reference README.md:10, unchecked); this extends the wire ABI in the same
+# reserved-numbering style the reference uses. Scenes without materials emit
+# byte-identical tapes to before.
+OP_MATERIAL = 130  # albedo vec3
+
 PRIMITIVE_OPS = (OP_SPHERE, OP_BOX, OP_PLANE, OP_TORUS, OP_BOX_ROT, OP_TORUS_ROT)
 BINARY_OPS = (
     OP_UNION,
@@ -66,6 +74,7 @@ WIRE_PARAM_COUNT = {
     OP_SMOOTH_INTERSECTION: 1,
     OP_ROUND: 1,
     OP_ONION: 1,
+    OP_MATERIAL: 3,
 }
 
 # --- Leaf type ids (phase-1 banks, grouped by type) ------------------------
@@ -75,14 +84,19 @@ LEAF_PLANE = 2
 LEAF_TORUS = 3
 NUM_LEAF_TYPES = 4
 # Device leaf parameter row layout, f32[LEAF_PARAM_WIDTH]:
-#   [0:4]  quat (w,x,y,z), identity for unrotated leaves
-#   [4:7]  center / translation
-#   [7:12] primitive params:
+#   [0:4]   quat (w,x,y,z), identity for unrotated leaves
+#   [4:7]   center / translation
+#   [7:12]  primitive params:
 #     sphere: radius @7
 #     box:    half_extents @7:10
 #     plane:  normal @7:10, offset @10
 #     torus:  major_r @7, minor_r @8
-LEAF_PARAM_WIDTH = 12
+#   [12:15] material albedo (r,g,b); differentiable like the geometry
+#   [15]    material flag: 1.0 = leaf carries a material, 0.0 = use the
+#           config default albedo (reference wgsl:103)
+LEAF_PARAM_WIDTH = 16
+LEAF_ALBEDO = 12  # slice start
+LEAF_MAT_FLAG = 15
 
 # --- Combine-phase instruction set -----------------------------------------
 COP_NOP = 0  # padding; writes stack[slot] back unchanged

@@ -121,6 +121,8 @@ def eval_tape(
             stack.append(stack.pop() - par[0])
         elif op == oc.OP_ONION:
             stack.append(np.abs(stack.pop()) - par[0])
+        elif op == oc.OP_MATERIAL:
+            pass  # attribute only; distances unaffected (see eval_tape_color)
         else:
             raise ValueError(f"unknown wire opcode {op}")
         if len(stack) > cfg.stack_depth:
@@ -129,6 +131,97 @@ def eval_tape(
     if len(stack) != 1:
         raise ValueError(f"malformed tape: final stack size {len(stack)}")
     return stack[0].astype(np.float32)
+
+
+def _mat_select(wa, rgb_a, rgb_b):
+    """Blend/select materials by the winner weight wa in [0,1]."""
+    wa = wa.astype(np.float32)[:, None]
+    return wa * rgb_a + (1.0 - wa) * rgb_b
+
+
+def eval_tape_color(
+    tape: np.ndarray, points: np.ndarray, cfg: RenderConfig = DEFAULT_CONFIG
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate the scene SDF *with material propagation* at points[N,3]
+    -> (distances[N], albedo[N,3]).
+
+    Material system (reference roadmap, README.md:10): each primitive may be
+    followed by an OP_MATERIAL attribute; unpainted leaves use cfg.albedo
+    (the reference's fixed albedo, wgsl:103). Hard ops pass through the
+    winning operand's material (union: nearer; intersection: farther;
+    subtraction: the cut surface when the negated operand wins); smooth ops
+    blend materials with the weight w_a = clamp(0.5 + 0.5*(b'-a')/k, 0, 1)
+    of the same operands the distance blend uses, so the material field is
+    continuous exactly where the distance field is.
+    """
+    points = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    tape = np.asarray(tape, dtype=np.uint32)
+    default = np.broadcast_to(
+        np.asarray(cfg.albedo, dtype=np.float32), (n, 3)
+    ).copy()
+    if tape.size == 0:
+        return np.full(n, cfg.max_dist, dtype=np.float32), default
+
+    f32 = tape.view(np.float32)
+    stack: list[tuple[np.ndarray, np.ndarray]] = []  # (dist[N], rgb[N,3])
+    i = 0
+    while i < len(tape):
+        op = int(tape[i])
+        i += 1
+        npar = oc.WIRE_PARAM_COUNT[op]
+        par = f32[i : i + npar].astype(np.float64)
+        i += npar
+
+        if op in oc.PRIMITIVE_OPS:
+            # Reuse the single-op distance path via a one-command sub-tape.
+            sub = tape[i - npar - 1 : i]
+            stack.append((eval_tape(sub, points, cfg), default.copy()))
+        elif op == oc.OP_MATERIAL:
+            if not stack:
+                raise ValueError("OP_MATERIAL with no preceding primitive")
+            d, _ = stack.pop()
+            rgb = np.broadcast_to(par[0:3].astype(np.float32), (n, 3)).copy()
+            stack.append((d, rgb))
+        elif op == oc.OP_UNION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            stack.append((np.minimum(a, b), _mat_select(a <= b, ra, rb)))
+        elif op == oc.OP_SUBTRACTION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            stack.append((np.maximum(a, -b), _mat_select(a >= -b, ra, rb)))
+        elif op == oc.OP_INTERSECTION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            stack.append((np.maximum(a, b), _mat_select(a >= b, ra, rb)))
+        elif op == oc.OP_SMOOTH_UNION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            k = max(par[0], 1e-8)
+            wa = np.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
+            stack.append((_smin(a, b, par[0]), _mat_select(wa, ra, rb)))
+        elif op == oc.OP_SMOOTH_SUBTRACTION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            k = max(par[0], 1e-8)
+            wa = np.clip(0.5 + 0.5 * (a + b) / k, 0.0, 1.0)
+            stack.append((_smax(a, -b, par[0]), _mat_select(wa, ra, rb)))
+        elif op == oc.OP_SMOOTH_INTERSECTION:
+            (b, rb), (a, ra) = stack.pop(), stack.pop()
+            k = max(par[0], 1e-8)
+            wa = np.clip(0.5 + 0.5 * (a - b) / k, 0.0, 1.0)
+            stack.append((_smax(a, b, par[0]), _mat_select(wa, ra, rb)))
+        elif op == oc.OP_ROUND:
+            d, rgb = stack.pop()
+            stack.append((d - par[0], rgb))
+        elif op == oc.OP_ONION:
+            d, rgb = stack.pop()
+            stack.append((np.abs(d) - par[0], rgb))
+        else:
+            raise ValueError(f"unknown wire opcode {op}")
+        if len(stack) > cfg.stack_depth:
+            raise ValueError("tape exceeds stack depth")
+
+    if len(stack) != 1:
+        raise ValueError(f"malformed tape: final stack size {len(stack)}")
+    d, rgb = stack[0]
+    return d.astype(np.float32), rgb.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +280,10 @@ def shade(tape, origins, dirs, t, hit, cfg: RenderConfig = DEFAULT_CONFIG):
         to_light = pos - np.asarray(cfg.light_position, dtype=np.float32)
         to_light /= np.maximum(np.linalg.norm(to_light, axis=-1, keepdims=True), 1e-20)
         diffuse = np.maximum(cfg.ambient, np.sum(normal * to_light, axis=-1))
-        color[hit] = np.asarray(cfg.albedo, dtype=np.float32) * diffuse[:, None]
+        # Per-hit albedo from the material system (unpainted -> cfg.albedo,
+        # the reference's fixed albedo, wgsl:103).
+        _, albedo = eval_tape_color(tape, pos, cfg)
+        color[hit] = albedo * diffuse[:, None]
 
     miss = ~hit
     if miss.any():

@@ -179,6 +179,45 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
     return scene_eval
 
 
+def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
+    """Static-tape scene evaluation WITH material propagation:
+    color_eval(lp_ref, opp_ref, px, py, pz) -> (d, r, g, b) tiles/scalars.
+
+    Materials in the fully fused kernels require a static-tape compile (the
+    dynamic-tape interpreter would need a 4-channel VMEM stack; dynamic
+    scenes with materials shade through the jnp path in make_renderer
+    instead). Selection/blend rules mirror oracle.eval_tape_color."""
+    if spec.static_tape is None:
+        raise NotImplementedError(
+            "materials in the fused Pallas kernels require compile_scene("
+            "static=True); for dynamic tapes use make_renderer(backend="
+            "'pallas'/'jnp'), which shades with materials in jnp"
+        )
+    row_types = {r: (t, rot) for r, t, rot in leaf_rows}
+    from .sdf import _apply_static_tape_color
+
+    ax, ay, az = cfg.albedo
+    A0 = oc.LEAF_ALBEDO
+    AF = oc.LEAF_MAT_FLAG
+
+    def color_eval(lp_ref, opp_ref, px, py, pz):
+        def leaf_fn(row):
+            t, rot = row_types[row]
+            d = _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
+            flag = lp_ref[row, AF]
+            r = flag * lp_ref[row, A0] + (1.0 - flag) * ax
+            g = flag * lp_ref[row, A0 + 1] + (1.0 - flag) * ay
+            b = flag * lp_ref[row, A0 + 2] + (1.0 - flag) * az
+            return d, (r, g, b)
+
+        d, (r, g, b) = _apply_static_tape_color(
+            spec, opp_ref, leaf_fn, cfg.max_dist, px, (ax, ay, az)
+        )
+        return d, r, g, b
+
+    return color_eval
+
+
 def _march_tile(
     scene_eval_bound, ox, oy, oz, dx, dy, dz, cfg: RenderConfig, bound=None
 ):
@@ -631,6 +670,11 @@ def make_pallas_image_render(
     """
     leaf_rows = _leaf_static_rows(spec)
     scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm)
+    color_eval = (
+        _make_scene_color_eval(spec, cfg, leaf_rows, bm)
+        if spec.has_materials
+        else None
+    )
     tile = bm * LANES
     naa = cfg.aa_samples
     hw = height * width
@@ -722,6 +766,13 @@ def make_pallas_image_render(
         diff = nx * tlx * linv + ny * tly * linv + nz * tlz * linv
         diff = jnp.maximum(diff, cfg.ambient)
 
+        # Per-hit albedo from the material system (one extra scene eval at
+        # the hit points; material-free scenes keep the fixed albedo).
+        if color_eval is not None:
+            _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz)
+        else:
+            mar, mag, mab = ax_, ay_, az_
+
         # Analytic checkerboard floor on miss (reference wgsl:117-128).
         dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
         dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
@@ -737,9 +788,9 @@ def make_pallas_image_render(
         fcol_b = (fb_b + cfg.floor_checker * parity) * on_floor
 
         miss = 1.0 - hit
-        cr = hit * (ax_ * diff) + miss * fcol_r
-        cg = hit * (ay_ * diff) + miss * fcol_g
-        cb = hit * (az_ * diff) + miss * fcol_b
+        cr = hit * (mar * diff) + miss * fcol_r
+        cg = hit * (mag * diff) + miss * fcol_g
+        cb = hit * (mab * diff) + miss * fcol_b
 
         # sqrt gamma (wgsl:68).
         r_ref[:] = jnp.sqrt(jnp.maximum(cr, 0.0) + 1e-12)

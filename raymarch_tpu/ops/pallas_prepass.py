@@ -212,6 +212,13 @@ def make_pallas_image_render_aa(
     leaf_rows = _leaf_static_rows(spec)
     scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm_coarse)
     scene_eval_f = _make_scene_eval(spec, cfg, leaf_rows, bm_fine)
+    from .pallas_march import _make_scene_color_eval
+
+    color_eval = (
+        _make_scene_color_eval(spec, cfg, leaf_rows, bm_fine)
+        if spec.has_materials
+        else None
+    )
     naa = cfg.aa_samples
     S = naa * naa
     hw = height * width
@@ -365,13 +372,24 @@ def make_pallas_image_render_aa(
             linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
             diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
             diff = jnp.maximum(diff, cfg.ambient)
-            return t, hit, diff
+            # Per-hit albedo (material system; one extra scene eval). Force
+            # tiles so both cond branches return matching shapes.
+            if color_eval is not None:
+                _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz)
+                mar = dx * 0.0 + mar
+                mag = dx * 0.0 + mag
+                mab = dx * 0.0 + mab
+            else:
+                mar = dx * 0.0 + ax_
+                mag = dx * 0.0 + ay_
+                mab = dx * 0.0 + az_
+            return t, hit, diff, mar, mag, mab
 
         def no_surface():
             z = dx * 0.0
-            return z, z, z
+            return z, z, z, z + ax_, z + ay_, z + az_
 
-        _, hit, diff = jax.lax.cond(any_near, do_surface, no_surface)
+        _, hit, diff, mar, mag, mab = jax.lax.cond(any_near, do_surface, no_surface)
 
         # Analytic checkerboard floor on miss (wgsl:117-128).
         dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
@@ -388,9 +406,9 @@ def make_pallas_image_render_aa(
         fcol_b = (fb_b + cfg.floor_checker * parity) * on_floor
 
         miss = 1.0 - hit
-        cr = jnp.sqrt(jnp.maximum(hit * (ax_ * diff) + miss * fcol_r, 0.0) + 1e-12)
-        cg = jnp.sqrt(jnp.maximum(hit * (ay_ * diff) + miss * fcol_g, 0.0) + 1e-12)
-        cb = jnp.sqrt(jnp.maximum(hit * (az_ * diff) + miss * fcol_b, 0.0) + 1e-12)
+        cr = jnp.sqrt(jnp.maximum(hit * (mar * diff) + miss * fcol_r, 0.0) + 1e-12)
+        cg = jnp.sqrt(jnp.maximum(hit * (mag * diff) + miss * fcol_g, 0.0) + 1e-12)
+        cb = jnp.sqrt(jnp.maximum(hit * (mab * diff) + miss * fcol_b, 0.0) + 1e-12)
 
         @pl.when(s == 0)
         def _():

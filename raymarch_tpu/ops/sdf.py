@@ -164,6 +164,172 @@ def _apply_static_tape(spec: TapeSpec, op_param, leaf_fn, max_dist, like):
     return stack[0]
 
 
+def _mat_weight_smooth(da, db, k):
+    """Winner weight of operand a for smooth blends: the material field is
+    continuous exactly where the distance blend is (see oracle.eval_tape_color)."""
+    k = jnp.maximum(k, 1e-8)
+    return jnp.clip(0.5 + 0.5 * (db - da) / k, 0.0, 1.0)
+
+
+def _apply_static_tape_color(spec: TapeSpec, op_param, leaf_fn, max_dist, like,
+                             default_rgb):
+    """Unrolled combine phase propagating (distance, albedo). `leaf_fn(row)`
+    yields (d, (r, g, b)) with r/g/b broadcastable against d (scalars are
+    fine); works on both jnp arrays and Pallas tiles. Selection/blend rules
+    mirror oracle.eval_tape_color exactly."""
+    from . import opcodes as oc_
+
+    def sel(w, ca, cb):
+        return tuple(w * x + (1.0 - w) * y for x, y in zip(ca, cb))
+
+    stack = []
+    for k, (cop, arg, _slot) in enumerate(spec.static_tape):
+        if cop == oc_.COP_PUSH:
+            stack.append(leaf_fn(arg))
+            continue
+        kp = op_param[k]
+        if cop in (oc_.COP_ROUND, oc_.COP_ONION):
+            a, ca = stack.pop()
+            d = a - kp if cop == oc_.COP_ROUND else jnp.abs(a) - kp
+            stack.append((d, ca))
+            continue
+        (b, cb) = stack.pop()
+        (a, ca) = stack.pop()
+        if cop == oc_.COP_UNION:
+            v = jnp.minimum(a, b)
+            w = jnp.where(a <= b, 1.0, 0.0)
+        elif cop == oc_.COP_INTERSECTION:
+            v = jnp.maximum(a, b)
+            w = jnp.where(a >= b, 1.0, 0.0)
+        elif cop == oc_.COP_SUBTRACTION:
+            v = jnp.maximum(a, -b)
+            w = jnp.where(a >= -b, 1.0, 0.0)
+        elif cop == oc_.COP_SMOOTH_UNION:
+            v = smooth_min(a, b, kp)
+            w = _mat_weight_smooth(a, b, kp)
+        elif cop == oc_.COP_SMOOTH_INTERSECTION:
+            v = smooth_max(a, b, kp)
+            w = _mat_weight_smooth(b, a, kp)
+        elif cop == oc_.COP_SMOOTH_SUBTRACTION:
+            v = smooth_max(a, -b, kp)
+            w = _mat_weight_smooth(-b, a, kp)
+        else:
+            raise ValueError(f"bad static op {cop}")
+        stack.append((v, sel(w, ca, cb)))
+    if not stack:
+        return like * 0.0 + max_dist, default_rgb
+    return stack[0]
+
+
+def make_scene_color_fn(spec: TapeSpec, cfg: RenderConfig):
+    """Build `scene_color(points[N,3], arrays) -> (d[N], albedo[N,3])`: one
+    scene evaluation that also propagates materials (reference roadmap,
+    README.md:10). Unpainted leaves shade with cfg.albedo, so on a
+    material-free scene this is exactly `make_scene_fn` plus a constant."""
+    default = jnp.asarray(cfg.albedo, jnp.float32)
+
+    def leaf_rgb(row_params):
+        flag = row_params[oc.LEAF_MAT_FLAG]
+        alb = row_params[oc.LEAF_ALBEDO : oc.LEAF_ALBEDO + 3]
+        rgb = flag * alb + (1.0 - flag) * default
+        return (rgb[0], rgb[1], rgb[2])
+
+    if spec.static_tape is not None:
+        row_types = _leaf_row_types(spec)
+
+        def scene_color_static(points, arrays: TapeArrays):
+            points = jnp.asarray(points)
+            arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
+
+            def leaf_fn(row):
+                t, rot = row_types[row]
+                d = _single_leaf_distance(points, arrays.leaf_params[row], t, rot)
+                return d, leaf_rgb(arrays.leaf_params[row])
+
+            d, (r, g, b) = _apply_static_tape_color(
+                spec, arrays.op_param, leaf_fn, cfg.max_dist, points[:, 0],
+                (default[0], default[1], default[2]),
+            )
+            ones = jnp.ones_like(d)
+            return d, jnp.stack([r * ones, g * ones, b * ones], axis=-1)
+
+        return scene_color_static
+
+    S = spec.stack_depth
+
+    def scene_color(points, arrays: TapeArrays):
+        points = jnp.asarray(points)
+        arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
+        n = points.shape[0]
+        D = leaf_distances(points, spec, arrays.leaf_params)
+        lp = arrays.leaf_params
+        flag = lp[:, oc.LEAF_MAT_FLAG : oc.LEAF_MAT_FLAG + 1]
+        rgb_leaf = flag * lp[:, oc.LEAF_ALBEDO : oc.LEAF_ALBEDO + 3] + (
+            1.0 - flag
+        ) * default[None, :]
+        # D4[leaf, 4, N]: distance + broadcast per-leaf rgb channels.
+        D4 = jnp.concatenate(
+            [D[:, None, :], jnp.broadcast_to(rgb_leaf[:, :, None], (D.shape[0], 3, n))],
+            axis=1,
+        )
+
+        def mix(v, w, ca, cb):
+            return jnp.concatenate([v[None], w * ca + (1.0 - w) * cb], axis=0)
+
+        branches = [
+            lambda a, b, leaf, k: a,  # NOP
+            lambda a, b, leaf, k: leaf,  # PUSH
+            lambda a, b, leaf, k: mix(  # UNION
+                jnp.minimum(a[0], b[0]), jnp.where(a[0] <= b[0], 1.0, 0.0), a[1:], b[1:]
+            ),
+            lambda a, b, leaf, k: mix(  # INTERSECTION
+                jnp.maximum(a[0], b[0]), jnp.where(a[0] >= b[0], 1.0, 0.0), a[1:], b[1:]
+            ),
+            lambda a, b, leaf, k: mix(  # SUBTRACTION
+                jnp.maximum(a[0], -b[0]),
+                jnp.where(a[0] >= -b[0], 1.0, 0.0),
+                a[1:],
+                b[1:],
+            ),
+            lambda a, b, leaf, k: mix(  # SMOOTH_UNION
+                smooth_min(a[0], b[0], k), _mat_weight_smooth(a[0], b[0], k),
+                a[1:], b[1:],
+            ),
+            lambda a, b, leaf, k: mix(  # SMOOTH_INTERSECTION
+                smooth_max(a[0], b[0], k), _mat_weight_smooth(b[0], a[0], k),
+                a[1:], b[1:],
+            ),
+            lambda a, b, leaf, k: mix(  # SMOOTH_SUBTRACTION
+                smooth_max(a[0], -b[0], k), _mat_weight_smooth(-b[0], a[0], k),
+                a[1:], b[1:],
+            ),
+            lambda a, b, leaf, k: jnp.concatenate(
+                [a[0:1] - k, a[1:]], axis=0
+            ),  # ROUND
+            lambda a, b, leaf, k: jnp.concatenate(
+                [jnp.abs(a[0:1]) - k, a[1:]], axis=0
+            ),  # ONION
+        ]
+
+        def body(i, stack):
+            op = arrays.tape_ops[i]
+            arg = arrays.tape_arg[i]
+            k = arrays.op_param[i]
+            slot = arrays.out_slot[i]
+            pair = jax.lax.dynamic_slice(stack, (slot, 0, 0), (2, 4, n))
+            a, b = pair[0], pair[1]
+            leaf = jnp.take(D4, arg, axis=0)
+            val = jax.lax.switch(op, branches, a, b, leaf, k)
+            return jax.lax.dynamic_update_slice(stack, val[None], (slot, 0, 0))
+
+        stack0 = jnp.full((S + 1, 4, n), cfg.max_dist, dtype=points.dtype)
+        stack0 = stack0.at[:, 1:4, :].set(default[None, :, None])
+        stack = jax.lax.fori_loop(0, spec.n_instr, body, stack0)
+        return stack[0, 0], stack[0, 1:4].T
+
+    return scene_color
+
+
 def make_scene_fn(spec: TapeSpec, cfg: RenderConfig):
     """Build `scene_dist(points[N,3], arrays) -> d[N]` for a given static
     TapeSpec. The returned function is jit-stable across all scenes sharing

@@ -98,30 +98,12 @@ def _is_identity(q) -> bool:
 
 def _emit_node(node: csg.CSGNode, b: WireTapeBuilder) -> None:
     """Postorder emission; children first, then the operator
-    (reference operations/mod.rs:13-17)."""
-    if isinstance(node, csg.Sphere):
-        b.push_command(oc.OP_SPHERE).push_param_vec3(node.center).push_param_float(
-            node.radius
-        )
-    elif isinstance(node, csg.Box):
-        if _is_identity(node.rotation):
-            b.push_command(oc.OP_BOX).push_param_vec3(node.center).push_param_vec3(
-                node.half_extents
-            )
-        else:
-            b.push_command(oc.OP_BOX_ROT).push_param_quat(node.rotation)
-            b.push_param_vec3(node.center).push_param_vec3(node.half_extents)
-    elif isinstance(node, csg.Torus):
-        if _is_identity(node.rotation):
-            b.push_command(oc.OP_TORUS).push_param_vec3(node.center)
-        else:
-            b.push_command(oc.OP_TORUS_ROT).push_param_quat(node.rotation)
-            b.push_param_vec3(node.center)
-        b.push_param_float(node.major_radius).push_param_float(node.minor_radius)
-    elif isinstance(node, csg.Plane):
-        b.push_command(oc.OP_PLANE).push_param_vec3(node.normal).push_param_float(
-            node.offset
-        )
+    (reference operations/mod.rs:13-17). A painted primitive is followed by a
+    postfix OP_MATERIAL attribute (extension; see opcodes.OP_MATERIAL)."""
+    if isinstance(node, csg.Primitive):
+        _emit_primitive(node, b)
+        if node.material is not None:
+            b.push_command(oc.OP_MATERIAL).push_param_vec3(node.material)
     elif isinstance(node, csg.BinaryOp):
         _emit_node(node.a, b)
         _emit_node(node.b, b)
@@ -148,6 +130,34 @@ def _emit_node(node: csg.CSGNode, b: WireTapeBuilder) -> None:
         )
     else:
         raise TypeError(f"unknown CSG node type: {type(node).__name__}")
+
+
+def _emit_primitive(node: csg.Primitive, b: WireTapeBuilder) -> None:
+    if isinstance(node, csg.Sphere):
+        b.push_command(oc.OP_SPHERE).push_param_vec3(node.center).push_param_float(
+            node.radius
+        )
+    elif isinstance(node, csg.Box):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_BOX).push_param_vec3(node.center).push_param_vec3(
+                node.half_extents
+            )
+        else:
+            b.push_command(oc.OP_BOX_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center).push_param_vec3(node.half_extents)
+    elif isinstance(node, csg.Torus):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_TORUS).push_param_vec3(node.center)
+        else:
+            b.push_command(oc.OP_TORUS_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center)
+        b.push_param_float(node.major_radius).push_param_float(node.minor_radius)
+    elif isinstance(node, csg.Plane):
+        b.push_command(oc.OP_PLANE).push_param_vec3(node.normal).push_param_float(
+            node.offset
+        )
+    else:
+        raise TypeError(f"unknown primitive type: {type(node).__name__}")
 
 
 def encode_wire(scene: Optional[csg.CSGNode]) -> np.ndarray:
@@ -201,6 +211,11 @@ class TapeSpec:
     # dynamic tape (any edit is a buffer swap, the reference's
     # runtime-upload semantics, README.md:7).
     static_tape: Optional[tuple] = None
+    # Any leaf painted with a material (reference roadmap, README.md:10)?
+    # Static so material-free scenes compile zero material code; painting a
+    # first material (or unpainting the last) is a topology-class edit.
+    # Albedo VALUES are dynamic (differentiable) in leaf_params[:, 12:15].
+    has_materials: bool = False
 
 
 @dataclasses.dataclass
@@ -307,6 +322,11 @@ def _decode_wire(tape: np.ndarray):
                 row[10] = rest[3]
             leaves.append((_WIRE_PRIM_TO_LEAF[op], rotated, row))
             instrs.append((oc.COP_PUSH, len(leaves) - 1, 0.0))
+        elif op == oc.OP_MATERIAL:
+            if not leaves:
+                raise ValueError("OP_MATERIAL with no preceding primitive")
+            leaves[-1][2][oc.LEAF_ALBEDO : oc.LEAF_ALBEDO + 3] = pars[0:3]
+            leaves[-1][2][oc.LEAF_MAT_FLAG] = 1.0
         else:
             k = float(pars[0]) if npar else 0.0
             instrs.append((_WIRE_TO_COP[op], 0, k))
@@ -414,6 +434,7 @@ def compile_wire(
         stack_depth=sd,
         rotated_types=tuple(rotated_types),
         static_tape=static_tape,
+        has_materials=bool(leaf_params[:, oc.LEAF_MAT_FLAG].any()),
     )
     arrays = TapeArrays(
         leaf_params=leaf_params,
