@@ -29,8 +29,14 @@ enum : uint32_t {
   OP_BOX = 1,
   OP_PLANE = 2,
   OP_TORUS = 3,
+  OP_CYLINDER = 4,
+  OP_CAPSULE = 5,
+  OP_CONE = 6,
   OP_BOX_ROT = 11,
   OP_TORUS_ROT = 13,
+  OP_CYLINDER_ROT = 14,
+  OP_CAPSULE_ROT = 15,
+  OP_CONE_ROT = 16,
   OP_UNION = 100,
   OP_SUBTRACTION = 101,
   OP_INTERSECTION = 102,
@@ -48,8 +54,14 @@ int param_count(uint32_t op) {
     case OP_BOX: return 6;
     case OP_PLANE: return 4;
     case OP_TORUS: return 5;
+    case OP_CYLINDER: return 5;
+    case OP_CAPSULE: return 5;
+    case OP_CONE: return 6;
     case OP_BOX_ROT: return 10;
     case OP_TORUS_ROT: return 9;
+    case OP_CYLINDER_ROT: return 9;
+    case OP_CAPSULE_ROT: return 9;
+    case OP_CONE_ROT: return 10;
     case OP_UNION: case OP_SUBTRACTION: case OP_INTERSECTION: return 0;
     case OP_SMOOTH_UNION: case OP_SMOOTH_SUBTRACTION:
     case OP_SMOOTH_INTERSECTION: case OP_ROUND: case OP_ONION: return 1;
@@ -103,6 +115,34 @@ inline float sd_box_local(Vec3 q, const float* he) {
 inline float sd_torus_local(Vec3 q, float R, float r) {
   float ring = std::sqrt(q.x * q.x + q.z * q.z) - R;
   return std::sqrt(ring * ring + q.y * q.y) - r;
+}
+
+inline float sd_cylinder_local(Vec3 q, float r, float h) {
+  float qx = std::sqrt(q.x * q.x + q.z * q.z) - r;
+  float qy = std::fabs(q.y) - h;
+  float ox = qx > 0 ? qx : 0, oy = qy > 0 ? qy : 0;
+  return std::sqrt(ox * ox + oy * oy) + std::fmin(std::fmax(qx, qy), 0.0f);
+}
+
+inline float sd_capsule_local(Vec3 q, float r, float h) {
+  float y = q.y - std::fmin(std::fmax(q.y, -h), h);
+  return std::sqrt(q.x * q.x + y * y + q.z * q.z) - r;
+}
+
+inline float sd_cone_local(Vec3 p, float h, float r1, float r2) {
+  // iq's exact capped cone: radius r1 at y=-h, r2 at y=+h.
+  float qx = std::sqrt(p.x * p.x + p.z * p.z);
+  float qy = p.y;
+  float k2x = r2 - r1, k2y = 2.0f * h;
+  float cax = qx - std::fmin(qx, qy < 0.0f ? r1 : r2);
+  float cay = std::fabs(qy) - h;
+  float denom = std::fmax(k2x * k2x + k2y * k2y, 1e-20f);
+  float t = ((r2 - qx) * k2x + (h - qy) * k2y) / denom;
+  t = std::fmin(std::fmax(t, 0.0f), 1.0f);
+  float cbx = qx - r2 + k2x * t;
+  float cby = qy - h + k2y * t;
+  float s = (cbx < 0.0f && cay < 0.0f) ? -1.0f : 1.0f;
+  return s * std::sqrt(std::fmin(cax * cax + cay * cay, cbx * cbx + cby * cby));
 }
 
 inline float smin(float a, float b, float k) {
@@ -191,6 +231,36 @@ int32_t tape_eval(const uint32_t* tape, int64_t n_words, const float* points,
         case OP_TORUS_ROT: {
           Vec3 q{p.x - par[4], p.y - par[5], p.z - par[6]};
           v = sd_torus_local(rot_inv(par, q), par[7], par[8]);
+          break;
+        }
+        case OP_CYLINDER: {
+          Vec3 q{p.x - par[0], p.y - par[1], p.z - par[2]};
+          v = sd_cylinder_local(q, par[3], par[4]);
+          break;
+        }
+        case OP_CYLINDER_ROT: {
+          Vec3 q{p.x - par[4], p.y - par[5], p.z - par[6]};
+          v = sd_cylinder_local(rot_inv(par, q), par[7], par[8]);
+          break;
+        }
+        case OP_CAPSULE: {
+          Vec3 q{p.x - par[0], p.y - par[1], p.z - par[2]};
+          v = sd_capsule_local(q, par[3], par[4]);
+          break;
+        }
+        case OP_CAPSULE_ROT: {
+          Vec3 q{p.x - par[4], p.y - par[5], p.z - par[6]};
+          v = sd_capsule_local(rot_inv(par, q), par[7], par[8]);
+          break;
+        }
+        case OP_CONE: {
+          Vec3 q{p.x - par[0], p.y - par[1], p.z - par[2]};
+          v = sd_cone_local(q, par[3], par[4], par[5]);
+          break;
+        }
+        case OP_CONE_ROT: {
+          Vec3 q{p.x - par[4], p.y - par[5], p.z - par[6]};
+          v = sd_cone_local(rot_inv(par, q), par[7], par[8], par[9]);
           break;
         }
         case OP_UNION:

@@ -12,7 +12,7 @@ from . import io, native
 from .config import DEFAULT_CONFIG, RenderConfig
 from .fit import fit_scene
 from .models import csg, graph
-from .models.csg import box, plane, sphere, torus
+from .models.csg import box, capsule, cone, cylinder, plane, sphere, torus
 from .models.graph import CSGNodeGraph
 from .ops import oracle
 from .ops.march import make_march, make_renderer, render_rays
@@ -39,6 +39,9 @@ __all__ = [
     "box",
     "torus",
     "plane",
+    "cylinder",
+    "capsule",
+    "cone",
     "oracle",
     "make_march",
     "make_renderer",

@@ -178,6 +178,43 @@ class Plane(Primitive):
     material: Optional[Vec3] = None
 
 
+@dataclasses.dataclass(frozen=True)
+class Cylinder(Primitive):
+    """Capped cylinder along local y (iq's sdCappedCylinder, exact):
+    q = (|p.xz| - r, |p.y| - h); d = min(max(q), 0) + |max(q, 0)|."""
+
+    center: Vec3 = (0.0, 0.0, 0.0)
+    radius: float = 0.5
+    half_height: float = 1.0
+    rotation: Quat = math3d.IDENTITY_QUAT
+    material: Optional[Vec3] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Capsule(Primitive):
+    """Vertical capsule (iq's sdVerticalCapsule, exact): the y in [-h, h]
+    segment inflated by radius."""
+
+    center: Vec3 = (0.0, 0.0, 0.0)
+    radius: float = 0.5
+    half_height: float = 1.0
+    rotation: Quat = math3d.IDENTITY_QUAT
+    material: Optional[Vec3] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Cone(Primitive):
+    """Capped cone along local y (iq's sdCappedCone, exact): radius
+    `r_bottom` at y=-h, `r_top` at y=+h. r_top=0 gives a sharp cone."""
+
+    center: Vec3 = (0.0, 0.0, 0.0)
+    half_height: float = 1.0
+    r_bottom: float = 0.5
+    r_top: float = 0.0
+    rotation: Quat = math3d.IDENTITY_QUAT
+    material: Optional[Vec3] = None
+
+
 # ---------------------------------------------------------------------------
 # Operations
 # ---------------------------------------------------------------------------
@@ -306,6 +343,33 @@ def plane(normal=(0.0, 1.0, 0.0), offset: float = 0.0, material=None) -> Plane:
     return Plane(_vec3(n), float(offset), _mat(material))
 
 
+def cylinder(
+    center=(0.0, 0.0, 0.0), radius: float = 0.5, half_height: float = 1.0,
+    rotation=None, material=None,
+) -> Cylinder:
+    q = math3d.IDENTITY_QUAT if rotation is None else _quat(rotation)
+    return Cylinder(_vec3(center), float(radius), float(half_height), q, _mat(material))
+
+
+def capsule(
+    center=(0.0, 0.0, 0.0), radius: float = 0.5, half_height: float = 1.0,
+    rotation=None, material=None,
+) -> Capsule:
+    q = math3d.IDENTITY_QUAT if rotation is None else _quat(rotation)
+    return Capsule(_vec3(center), float(radius), float(half_height), q, _mat(material))
+
+
+def cone(
+    center=(0.0, 0.0, 0.0), half_height: float = 1.0, r_bottom: float = 0.5,
+    r_top: float = 0.0, rotation=None, material=None,
+) -> Cone:
+    q = math3d.IDENTITY_QUAT if rotation is None else _quat(rotation)
+    return Cone(
+        _vec3(center), float(half_height), float(r_bottom), float(r_top), q,
+        _mat(material),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transform folding
 # ---------------------------------------------------------------------------
@@ -356,6 +420,25 @@ def fold_transforms(node: CSGNode) -> CSGNode:
             nn = math3d.quat_rotate(q, n.normal)
             off = s * n.offset - float(np.dot(t, nn))
             return Plane(_vec3(nn), off, n.material)
+        if isinstance(n, Cylinder):
+            c = t + s * math3d.quat_rotate(q, n.center)
+            rq = math3d.quat_multiply(q, n.rotation)
+            return Cylinder(
+                _vec3(c), n.radius * s, n.half_height * s, _quat(rq), n.material
+            )
+        if isinstance(n, Capsule):
+            c = t + s * math3d.quat_rotate(q, n.center)
+            rq = math3d.quat_multiply(q, n.rotation)
+            return Capsule(
+                _vec3(c), n.radius * s, n.half_height * s, _quat(rq), n.material
+            )
+        if isinstance(n, Cone):
+            c = t + s * math3d.quat_rotate(q, n.center)
+            rq = math3d.quat_multiply(q, n.rotation)
+            return Cone(
+                _vec3(c), n.half_height * s, n.r_bottom * s, n.r_top * s,
+                _quat(rq), n.material,
+            )
 
         if isinstance(n, SmoothBinaryOp):
             return type(n)(go(n.a, q, t, s), go(n.b, q, t, s), n.k * s)

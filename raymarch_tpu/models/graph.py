@@ -116,6 +116,43 @@ _register(
     _prim_eval(lambda v: csg.plane(v["normal"], v["offset"])),
 )
 _register(
+    "Cylinder",
+    [
+        InputSpec("center", VEC3, (0.0, 0.0, 0.0)),
+        InputSpec("radius", SCALAR, 0.5),
+        InputSpec("half_height", SCALAR, 1.0),
+    ],
+    _prim_eval(lambda v: csg.cylinder(v["center"], v["radius"], v["half_height"])),
+)
+_register(
+    "Capsule",
+    [
+        InputSpec("center", VEC3, (0.0, 0.0, 0.0)),
+        InputSpec("radius", SCALAR, 0.5),
+        InputSpec("half_height", SCALAR, 1.0),
+    ],
+    _prim_eval(lambda v: csg.capsule(v["center"], v["radius"], v["half_height"])),
+)
+_register(
+    "Cone",
+    [
+        InputSpec("center", VEC3, (0.0, 0.0, 0.0)),
+        InputSpec("half_height", SCALAR, 1.0),
+        InputSpec("r_bottom", SCALAR, 0.5),
+        InputSpec("r_top", SCALAR, 0.0),
+    ],
+    _prim_eval(
+        lambda v: csg.cone(v["center"], v["half_height"], v["r_bottom"], v["r_top"])
+    ),
+)
+_register(
+    "Material",
+    [InputSpec("A", SDF), InputSpec("albedo", VEC3, (0.5, 0.5, 0.5))],
+    lambda vals: None
+    if vals["A"] is None
+    else vals["A"].paint(tuple(vals["albedo"]), overwrite=True),
+)
+_register(
     "Union",
     [InputSpec("A", SDF), InputSpec("B", SDF)],
     _binary_eval(lambda a, b, v: csg.Union(a, b)),

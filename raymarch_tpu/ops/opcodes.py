@@ -22,10 +22,17 @@ OP_SPHERE = 0  # center vec3, radius           (reference builder.rs:6)
 OP_BOX = 1  # center vec3, half_extents vec3   (reference builder.rs:7)
 OP_PLANE = 2  # normal vec3, offset            (reserved, builder.rs:8)
 OP_TORUS = 3  # center vec3, major_r, minor_r  (extension)
+OP_CYLINDER = 4  # center vec3, radius, half_height (y-axis; extension)
+OP_CAPSULE = 5  # center vec3, radius, half_height (y-axis; extension)
+OP_CONE = 6  # center vec3, half_height, r_bottom, r_top (y-axis; extension)
 
-# Rotated primitive variants (extension): quat(w,x,y,z) precedes base params.
+# Rotated primitive variants (extension): quat(w,x,y,z) precedes base params;
+# numbering convention: rotated = base + 10.
 OP_BOX_ROT = 11  # quat vec4, center vec3, half_extents vec3
 OP_TORUS_ROT = 13  # quat vec4, center vec3, major_r, minor_r
+OP_CYLINDER_ROT = 14  # quat vec4, center vec3, radius, half_height
+OP_CAPSULE_ROT = 15  # quat vec4, center vec3, radius, half_height
+OP_CONE_ROT = 16  # quat vec4, center vec3, half_height, r_bottom, r_top
 
 # --- Wire opcodes: binary operations ---------------------------------------
 OP_UNION = 100  # min(a,b)                     (reference builder.rs:12)
@@ -47,7 +54,20 @@ OP_ONION = 121  # thickness
 # byte-identical tapes to before.
 OP_MATERIAL = 130  # albedo vec3
 
-PRIMITIVE_OPS = (OP_SPHERE, OP_BOX, OP_PLANE, OP_TORUS, OP_BOX_ROT, OP_TORUS_ROT)
+PRIMITIVE_OPS = (
+    OP_SPHERE,
+    OP_BOX,
+    OP_PLANE,
+    OP_TORUS,
+    OP_CYLINDER,
+    OP_CAPSULE,
+    OP_CONE,
+    OP_BOX_ROT,
+    OP_TORUS_ROT,
+    OP_CYLINDER_ROT,
+    OP_CAPSULE_ROT,
+    OP_CONE_ROT,
+)
 BINARY_OPS = (
     OP_UNION,
     OP_SUBTRACTION,
@@ -64,8 +84,14 @@ WIRE_PARAM_COUNT = {
     OP_BOX: 6,
     OP_PLANE: 4,
     OP_TORUS: 5,
+    OP_CYLINDER: 5,
+    OP_CAPSULE: 5,
+    OP_CONE: 6,
     OP_BOX_ROT: 10,
     OP_TORUS_ROT: 9,
+    OP_CYLINDER_ROT: 9,
+    OP_CAPSULE_ROT: 9,
+    OP_CONE_ROT: 10,
     OP_UNION: 0,
     OP_SUBTRACTION: 0,
     OP_INTERSECTION: 0,
@@ -82,15 +108,21 @@ LEAF_SPHERE = 0
 LEAF_BOX = 1
 LEAF_PLANE = 2
 LEAF_TORUS = 3
-NUM_LEAF_TYPES = 4
+LEAF_CYLINDER = 4
+LEAF_CAPSULE = 5
+LEAF_CONE = 6
+NUM_LEAF_TYPES = 7
 # Device leaf parameter row layout, f32[LEAF_PARAM_WIDTH]:
 #   [0:4]   quat (w,x,y,z), identity for unrotated leaves
 #   [4:7]   center / translation
 #   [7:12]  primitive params:
-#     sphere: radius @7
-#     box:    half_extents @7:10
-#     plane:  normal @7:10, offset @10
-#     torus:  major_r @7, minor_r @8
+#     sphere:   radius @7
+#     box:      half_extents @7:10
+#     plane:    normal @7:10, offset @10
+#     torus:    major_r @7, minor_r @8
+#     cylinder: radius @7, half_height @8   (y-axis)
+#     capsule:  radius @7, half_height @8   (y-axis segment)
+#     cone:     half_height @7, r_bottom @8, r_top @9  (y-axis, capped)
 #   [12:15] material albedo (r,g,b); differentiable like the geometry
 #   [15]    material flag: 1.0 = leaf carries a material, 0.0 = use the
 #           config default albedo (reference wgsl:103)

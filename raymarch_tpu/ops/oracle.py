@@ -53,6 +53,33 @@ def _sd_plane(p, normal, offset):
     return p @ np.asarray(normal) + offset
 
 
+def _sd_cylinder(p, r, h):
+    qx = np.hypot(p[..., 0], p[..., 2]) - r
+    qy = np.abs(p[..., 1]) - h
+    outside = np.hypot(np.maximum(qx, 0.0), np.maximum(qy, 0.0))
+    return outside + np.minimum(np.maximum(qx, qy), 0.0)
+
+
+def _sd_capsule(p, r, h):
+    y = p[..., 1] - np.clip(p[..., 1], -h, h)
+    return np.sqrt(p[..., 0] ** 2 + y * y + p[..., 2] ** 2) - r
+
+
+def _sd_cone(p, h, r1, r2):
+    """iq's exact capped cone: radius r1 at y=-h, r2 at y=+h."""
+    qx = np.hypot(p[..., 0], p[..., 2])
+    qy = p[..., 1]
+    k2x, k2y = r2 - r1, 2.0 * h
+    cax = qx - np.minimum(qx, np.where(qy < 0.0, r1, r2))
+    cay = np.abs(qy) - h
+    denom = max(k2x * k2x + k2y * k2y, 1e-20)
+    t = np.clip(((r2 - qx) * k2x + (h - qy) * k2y) / denom, 0.0, 1.0)
+    cbx = qx - r2 + k2x * t
+    cby = qy - h + k2y * t
+    s = np.where(np.logical_and(cbx < 0.0, cay < 0.0), -1.0, 1.0)
+    return s * np.sqrt(np.minimum(cax * cax + cay * cay, cbx * cbx + cby * cby))
+
+
 def _smin(a, b, k):
     h = np.maximum(k - np.abs(a - b), 0.0) / k
     return np.minimum(a, b) - h * h * k * 0.25
@@ -99,6 +126,21 @@ def eval_tape(
             stack.append(_sd_torus(local, 0.0, par[7], par[8]))
         elif op == oc.OP_PLANE:
             stack.append(_sd_plane(points, par[0:3], par[3]))
+        elif op == oc.OP_CYLINDER:
+            stack.append(_sd_cylinder(points - par[0:3], par[3], par[4]))
+        elif op == oc.OP_CYLINDER_ROT:
+            local = _quat_rotate_inv(par[0:4], points - par[4:7])
+            stack.append(_sd_cylinder(local, par[7], par[8]))
+        elif op == oc.OP_CAPSULE:
+            stack.append(_sd_capsule(points - par[0:3], par[3], par[4]))
+        elif op == oc.OP_CAPSULE_ROT:
+            local = _quat_rotate_inv(par[0:4], points - par[4:7])
+            stack.append(_sd_capsule(local, par[7], par[8]))
+        elif op == oc.OP_CONE:
+            stack.append(_sd_cone(points - par[0:3], par[3], par[4], par[5]))
+        elif op == oc.OP_CONE_ROT:
+            local = _quat_rotate_inv(par[0:4], points - par[4:7])
+            stack.append(_sd_cone(local, par[7], par[8], par[9]))
         elif op == oc.OP_UNION:
             b, a = stack.pop(), stack.pop()
             stack.append(np.minimum(a, b))

@@ -102,6 +102,34 @@ def _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz):
         rr, sr = lp_ref[row, 7], lp_ref[row, 8]
         ring = jnp.sqrt(x * x + z * z + 1e-20) - rr
         return jnp.sqrt(ring * ring + y * y + 1e-20) - sr
+    if ltype == oc.LEAF_CYLINDER:
+        r, h = lp_ref[row, 7], lp_ref[row, 8]
+        qx = jnp.sqrt(x * x + z * z + 1e-20) - r
+        qy = jnp.abs(y) - h
+        ox_ = jnp.maximum(qx, 0.0)
+        oy_ = jnp.maximum(qy, 0.0)
+        return jnp.sqrt(ox_ * ox_ + oy_ * oy_ + 1e-20) + jnp.minimum(
+            jnp.maximum(qx, qy), 0.0
+        )
+    if ltype == oc.LEAF_CAPSULE:
+        r, h = lp_ref[row, 7], lp_ref[row, 8]
+        yy = y - jnp.clip(y, -h, h)
+        return jnp.sqrt(x * x + yy * yy + z * z + 1e-20) - r
+    if ltype == oc.LEAF_CONE:
+        h, r1, r2 = lp_ref[row, 7], lp_ref[row, 8], lp_ref[row, 9]
+        qx = jnp.sqrt(x * x + z * z + 1e-20)
+        k2x = r2 - r1
+        k2y = 2.0 * h
+        cax = qx - jnp.minimum(qx, jnp.where(y < 0.0, r1, r2))
+        cay = jnp.abs(y) - h
+        denom = jnp.maximum(k2x * k2x + k2y * k2y, 1e-20)
+        tt = jnp.clip(((r2 - qx) * k2x + (h - y) * k2y) / denom, 0.0, 1.0)
+        cbx = qx - r2 + k2x * tt
+        cby = y - h + k2y * tt
+        s = jnp.where(jnp.logical_and(cbx < 0.0, cay < 0.0), -1.0, 1.0)
+        return s * jnp.sqrt(
+            jnp.minimum(cax * cax + cay * cay, cbx * cbx + cby * cby) + 1e-20
+        )
     raise ValueError(f"unknown leaf type {ltype}")
 
 
@@ -382,10 +410,21 @@ def compute_bound(spec: TapeSpec, arrays: TapeArrays):
     r_sphere = lp[idx, 7]
     r_box = jnp.sqrt(jnp.sum(lp[idx, 7:10] ** 2, axis=-1))
     r_torus = lp[idx, 7] + lp[idx, 8]
-    radii = jnp.where(
-        jnp.asarray(types == oc.LEAF_SPHERE),
-        r_sphere,
-        jnp.where(jnp.asarray(types == oc.LEAF_BOX), r_box, r_torus),
+    r_cyl = jnp.sqrt(lp[idx, 7] ** 2 + lp[idx, 8] ** 2)
+    r_cap = lp[idx, 7] + lp[idx, 8]
+    r_cone = jnp.sqrt(jnp.maximum(lp[idx, 8], lp[idx, 9]) ** 2 + lp[idx, 7] ** 2)
+    types_a = jnp.asarray(types)
+    radii = jnp.select(
+        [
+            types_a == oc.LEAF_SPHERE,
+            types_a == oc.LEAF_BOX,
+            types_a == oc.LEAF_TORUS,
+            types_a == oc.LEAF_CYLINDER,
+            types_a == oc.LEAF_CAPSULE,
+            types_a == oc.LEAF_CONE,
+        ],
+        [r_sphere, r_box, r_torus, r_cyl, r_cap, r_cone],
+        default=r_sphere,
     )
     center = jnp.mean(centers, axis=0)
     expand = jnp.sum(jnp.abs(jnp.asarray(arrays.op_param)))

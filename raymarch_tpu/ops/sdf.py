@@ -81,11 +81,57 @@ def _leaf_torus(local, P):
     return jnp.sqrt(ring * ring + local[..., 1] ** 2 + 1e-20) - P[:, 8:9]
 
 
+def _leaf_cylinder(local, P):
+    """Capped y-axis cylinder (iq sdCappedCylinder, exact): radius @7, h @8."""
+    qx = jnp.sqrt(local[..., 0] ** 2 + local[..., 2] ** 2 + 1e-20) - P[:, 7:8]
+    qy = jnp.abs(local[..., 1]) - P[:, 8:9]
+    outside = jnp.sqrt(
+        jnp.maximum(qx, 0.0) ** 2 + jnp.maximum(qy, 0.0) ** 2 + 1e-20
+    )
+    inside = jnp.minimum(jnp.maximum(qx, qy), 0.0)
+    return outside + inside
+
+
+def _leaf_capsule(local, P):
+    """Vertical capsule (iq sdVerticalCapsule, exact): radius @7, h @8."""
+    y = local[..., 1]
+    y = y - jnp.clip(y, -P[:, 8:9], P[:, 8:9])
+    return (
+        jnp.sqrt(local[..., 0] ** 2 + y * y + local[..., 2] ** 2 + 1e-20)
+        - P[:, 7:8]
+    )
+
+
+def _leaf_cone(local, P):
+    """Capped y-axis cone (iq sdCappedCone, exact): h @7, r_bottom @8,
+    r_top @9 (radii at y = -h and y = +h)."""
+    h = P[:, 7:8]
+    r1 = P[:, 8:9]
+    r2 = P[:, 9:10]
+    qx = jnp.sqrt(local[..., 0] ** 2 + local[..., 2] ** 2 + 1e-20)
+    qy = local[..., 1]
+    k2x = r2 - r1
+    k2y = 2.0 * h
+    cax = qx - jnp.minimum(qx, jnp.where(qy < 0.0, r1, r2))
+    cay = jnp.abs(qy) - h
+    denom = jnp.maximum(k2x * k2x + k2y * k2y, 1e-20)
+    tt = jnp.clip(((r2 - qx) * k2x + (h - qy) * k2y) / denom, 0.0, 1.0)
+    cbx = qx - r2 + k2x * tt
+    cby = qy - h + k2y * tt
+    s = jnp.where(jnp.logical_and(cbx < 0.0, cay < 0.0), -1.0, 1.0)
+    return s * jnp.sqrt(
+        jnp.minimum(cax * cax + cay * cay, cbx * cbx + cby * cby) + 1e-20
+    )
+
+
 _LEAF_FNS = {
     oc.LEAF_SPHERE: _leaf_sphere,
     oc.LEAF_BOX: _leaf_box,
     oc.LEAF_PLANE: _leaf_plane,
     oc.LEAF_TORUS: _leaf_torus,
+    oc.LEAF_CYLINDER: _leaf_cylinder,
+    oc.LEAF_CAPSULE: _leaf_capsule,
+    oc.LEAF_CONE: _leaf_cone,
 }
 
 

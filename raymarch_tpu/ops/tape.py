@@ -156,6 +156,28 @@ def _emit_primitive(node: csg.Primitive, b: WireTapeBuilder) -> None:
         b.push_command(oc.OP_PLANE).push_param_vec3(node.normal).push_param_float(
             node.offset
         )
+    elif isinstance(node, csg.Cylinder):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_CYLINDER).push_param_vec3(node.center)
+        else:
+            b.push_command(oc.OP_CYLINDER_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center)
+        b.push_param_float(node.radius).push_param_float(node.half_height)
+    elif isinstance(node, csg.Capsule):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_CAPSULE).push_param_vec3(node.center)
+        else:
+            b.push_command(oc.OP_CAPSULE_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center)
+        b.push_param_float(node.radius).push_param_float(node.half_height)
+    elif isinstance(node, csg.Cone):
+        if _is_identity(node.rotation):
+            b.push_command(oc.OP_CONE).push_param_vec3(node.center)
+        else:
+            b.push_command(oc.OP_CONE_ROT).push_param_quat(node.rotation)
+            b.push_param_vec3(node.center)
+        b.push_param_float(node.half_height)
+        b.push_param_float(node.r_bottom).push_param_float(node.r_top)
     else:
         raise TypeError(f"unknown primitive type: {type(node).__name__}")
 
@@ -279,6 +301,12 @@ _WIRE_PRIM_TO_LEAF = {
     oc.OP_PLANE: oc.LEAF_PLANE,
     oc.OP_TORUS: oc.LEAF_TORUS,
     oc.OP_TORUS_ROT: oc.LEAF_TORUS,
+    oc.OP_CYLINDER: oc.LEAF_CYLINDER,
+    oc.OP_CYLINDER_ROT: oc.LEAF_CYLINDER,
+    oc.OP_CAPSULE: oc.LEAF_CAPSULE,
+    oc.OP_CAPSULE_ROT: oc.LEAF_CAPSULE,
+    oc.OP_CONE: oc.LEAF_CONE,
+    oc.OP_CONE_ROT: oc.LEAF_CONE,
 }
 
 
@@ -301,7 +329,13 @@ def _decode_wire(tape: np.ndarray):
         if op in oc.PRIMITIVE_OPS:
             row = np.zeros(oc.LEAF_PARAM_WIDTH, dtype=np.float32)
             row[0] = 1.0  # identity quat
-            rotated = op in (oc.OP_BOX_ROT, oc.OP_TORUS_ROT)
+            rotated = op in (
+                oc.OP_BOX_ROT,
+                oc.OP_TORUS_ROT,
+                oc.OP_CYLINDER_ROT,
+                oc.OP_CAPSULE_ROT,
+                oc.OP_CONE_ROT,
+            )
             if rotated:
                 row[0:4] = pars[0:4]
                 rest = pars[4:]
@@ -317,6 +351,16 @@ def _decode_wire(tape: np.ndarray):
                 row[4:7] = rest[0:3]
                 row[7] = rest[3]
                 row[8] = rest[4]
+            elif op in (oc.OP_CYLINDER, oc.OP_CYLINDER_ROT,
+                        oc.OP_CAPSULE, oc.OP_CAPSULE_ROT):
+                row[4:7] = rest[0:3]
+                row[7] = rest[3]
+                row[8] = rest[4]
+            elif op in (oc.OP_CONE, oc.OP_CONE_ROT):
+                row[4:7] = rest[0:3]
+                row[7] = rest[3]
+                row[8] = rest[4]
+                row[9] = rest[5]
             elif op == oc.OP_PLANE:
                 row[7:10] = rest[0:3]
                 row[10] = rest[3]

@@ -27,7 +27,7 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, RenderConfig
-from ..ops.march import _gamma, make_march, shade
+from ..ops.march import _gamma, _make_albedo_fn, make_march, shade
 from ..ops.raygen import raygen_flat
 from ..ops.sdf import make_scene_fn
 from ..ops.tape import TapeArrays, TapeSpec
@@ -61,7 +61,9 @@ def _local_renderer(spec, width, height, cfg, mode, backend):
             idx, camera.position, camera.rotation, width, height, cfg
         )
         t, hit, _ = march(origins, dirs, arrays)
-        color = shade(scene, origins, dirs, t, hit, arrays, cfg)
+        color = shade(
+            scene, origins, dirs, t, hit, arrays, cfg, _make_albedo_fn(spec, cfg)
+        )
         color = _gamma(color)
         return color.reshape(rows, width, s, 3).mean(axis=2)
 
@@ -96,7 +98,7 @@ def make_sharded_renderer(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(RAY_AXIS, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     def render(arrays: TapeArrays, camera):
@@ -167,7 +169,7 @@ def make_fit_step(
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS, None, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def pad_target(target):
