@@ -164,23 +164,44 @@ def main():
         file=sys.stderr,
     )
 
-    # --- secondary: fwd+bwd (pixel-loss gradient wrt scene params) ----------
+    # --- secondary: fwd+bwd (pixel-loss gradient wrt scene params + camera) -
     try:
+        import dataclasses
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        rv = make_fused_render_vjp(spec_s, cfg, WIDTH, HEIGHT, bm=128)
+
+        def loss_fused(lp, opp, c):
+            a = dataclasses.replace(arrays_s, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv(a, c) ** 2)
+
+        grad_fused = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_fused, argnums=(0, 1, 2))(lp, opp, c)
+        )
+        lp = jnp.asarray(arrays_s.leaf_params)
+        opp = jnp.asarray(arrays_s.op_param)
+        dt_bwd, _ = timeit(grad_fused, lp, opp, cam_vec, warmup=2, frames=10, reps=2)
+        print(
+            f"fwd+bwd (fused Pallas vjp): {dt_bwd*1e3:.1f} ms, "
+            f"{n_rays/dt_bwd/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+
         render = rm.make_renderer(
             spec_s, WIDTH, HEIGHT, cfg, mode="implicit", backend="pallas",
             chunk=1 << 20,
         )
-        import dataclasses
 
         def loss(lp, camera):
             img = render(dataclasses.replace(arrays_s, leaf_params=lp), camera)
             return jnp.mean(img**2)
 
         grad_fn = jax.jit(lambda lp, c: jax.grad(loss)(lp, c))
-        lp = jnp.asarray(arrays_s.leaf_params)
-        dt_bwd, _ = timeit(grad_fn, lp, cam, warmup=1, frames=4, reps=2)
+        dt_bwd2, _ = timeit(grad_fn, lp, cam, warmup=1, frames=4, reps=2)
         print(
-            f"fwd+bwd: {dt_bwd*1e3:.1f} ms, {n_rays/dt_bwd/1e9:.3f} Grays/s",
+            f"fwd+bwd (jnp shading path): {dt_bwd2*1e3:.1f} ms, "
+            f"{n_rays/dt_bwd2/1e9:.3f} Grays/s",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover - diagnostics only

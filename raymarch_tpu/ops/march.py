@@ -290,6 +290,27 @@ def make_renderer(
         from .pallas_march import make_pallas_image_march
 
         image_march = make_pallas_image_march(spec, cfg, width, height)
+    elif backend == "pallas_fused":
+        # Fully fused fwd+bwd: cone-prepass forward + the Pallas backward
+        # kernel (ops.pallas_grad). Differentiable w.r.t. arrays.leaf_params,
+        # arrays.op_param, and the camera pytree. Static tapes only.
+        if mode != "implicit":
+            raise ValueError("pallas_fused backend is implicit-mode only")
+        from .pallas_grad import make_fused_render_vjp
+
+        rv = make_fused_render_vjp(spec, cfg, width, height)
+
+        def render_fused(arrays: TapeArrays, camera):
+            cam_vec = jnp.concatenate(
+                [
+                    jnp.asarray(camera.position, jnp.float32),
+                    jnp.asarray(camera.rotation, jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                ]
+            )
+            return rv(arrays, cam_vec)
+
+        return render_fused
     elif backend == "pallas_full":
         if mode != "forward":
             raise ValueError("pallas_full backend is forward-only")

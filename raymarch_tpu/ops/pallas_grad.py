@@ -1,0 +1,423 @@
+"""Fused-VJP renderer: forward AND backward passes as Pallas TPU kernels.
+
+The jnp differentiable renderer (ops.march.make_renderer) is correct but
+HBM-bound: the shading chain (raygen + 4-tap normals + Lambertian + floor +
+gamma) materializes dozens of full-size temporaries per chunk, and the
+reverse pass roughly triples that traffic. This module keeps the whole
+gradient computation on-chip:
+
+- **Forward** = the cone-prepass fused renderer (ops.pallas_prepass): coarse
+  cone march shared by all AA rays + fused fine kernel. Residuals saved for
+  the backward pass are only the per-pixel prepass outputs (t0, status) — a
+  few MB — NOT per-ray state.
+
+- **Backward** = ONE Pallas kernel over (pixel_tile, aa_sample) that:
+  1. re-marches each fine ray from t0 (a few cheap steps; bitwise-identical
+     to the forward march, so t/hit agree exactly),
+  2. rebuilds the shading chain as a function of the SMEM scalar parameters
+     (leaf params, op params, camera pose) and applies `jax.grad` to the
+     tile-local loss contribution  dot(color, g_pixel)/S  — JAX traces the
+     transpose INSIDE the kernel, so every intermediate stays in VMEM,
+  3. adds the implicit-function term: with F(t; theta) = sdf(o + t*d) = 0 at
+     the hit, dL/dtheta += (dL/dt) * dt/dtheta where
+     dt/dtheta = -dF/dtheta / (grad_x F . d)  (same formula as
+     ops.march.make_march's custom_vjp, reference-free derivation there),
+  4. accumulates all parameter gradients in SMEM scratch across grid steps
+     and writes one flat f32 vector at the last step.
+
+Gradients flow to `leaf_params` (geometry + albedos), `op_param` (blend
+radii), and the camera pose vector. Static-tape scenes only (the combine
+phase is unrolled; see ops.tape.TapeSpec.static_tape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from . import opcodes as oc
+from .tape import TapeArrays, TapeSpec
+from .pallas_march import (
+    LANES,
+    _leaf_static_rows,
+    _leaf_distance_tile,
+    compute_bound,
+)
+from .pallas_prepass import _bound_clip, _fine_march_tile, make_pallas_image_render_aa
+from .sdf import _apply_static_tape, _apply_static_tape_color
+
+
+class _RowsView:
+    """Adapter: `view[row, col]` over a dict row -> tuple of traced scalars,
+    so `_leaf_distance_tile` runs unchanged on differentiable scalar params
+    instead of an SMEM ref."""
+
+    def __init__(self, rows: dict):
+        self._rows = rows
+
+    def __getitem__(self, idx):
+        row, col = idx
+        return self._rows[row][col]
+
+
+def _static_int_arrays(spec: TapeSpec):
+    """Reconstruct the integer tape arrays from the static tape (they are
+    fully determined by the spec, so the custom_vjp differentiates only the
+    float inputs)."""
+    n = spec.n_instr
+    ops = np.zeros(n, np.int32)
+    arg = np.zeros(n, np.int32)
+    slot = np.full(n, spec.stack_depth - 1, np.int32)
+    for i, (cop, a, s) in enumerate(spec.static_tape):
+        ops[i], arg[i], slot[i] = cop, a, s
+    return ops, arg, slot
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_render_vjp(
+    spec: TapeSpec,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    bm: int = 64,
+    prepass_block: int = 1,
+):
+    """Build `render(arrays, cam_vec f32[8]) -> image[H,W,3]`, differentiable
+    w.r.t. `arrays.leaf_params`, `arrays.op_param`, and `cam_vec`, with both
+    passes fused in Pallas. Requires a static-tape spec."""
+    if spec.static_tape is None:
+        raise NotImplementedError(
+            "fused-VJP rendering requires compile_scene(static=True)"
+        )
+    leaf_rows = _leaf_static_rows(spec)
+    row_types = {r: (t, rot) for r, t, rot in leaf_rows}
+    pushed_rows = sorted({a for (c, a, _s) in spec.static_tape if c == oc.COP_PUSH})
+    n_real = len(spec.static_tape)
+    n_rows = len(pushed_rows)
+    NSCAL = 16 * n_rows + n_real + 7
+
+    ops_np, arg_np, slot_np = _static_int_arrays(spec)
+    naa = cfg.aa_samples
+    S = naa * naa
+    hw = height * width
+    n_pad = ((hw + bm * LANES - 1) // (bm * LANES)) * (bm * LANES)
+    P = n_pad // (bm * LANES)
+    tanf = math.tan(cfg.fovy / 2.0)
+    aspect = width / height
+    lx_, ly_, lz_ = cfg.light_position
+    ax_, ay_, az_ = cfg.albedo
+    fb_r, fb_g, fb_b = cfg.floor_base
+    eps = cfg.normal_eps
+    inv_s = 1.0 / S
+
+    # Forward: the prepass renderer (bm_fine must match the bwd kernel's bm
+    # so t0/status block layouts line up).
+    fwd_render = make_pallas_image_render_aa(
+        spec, cfg, width, height, interpret=interpret,
+        bm_coarse=64 if not interpret else 8, bm_fine=bm,
+        prepass_block=prepass_block,
+    )
+
+    def _scene_tile(rows_view, opp, px, py, pz):
+        def leaf_fn(row):
+            t, rot = row_types[row]
+            return _leaf_distance_tile(rows_view, row, t, rot, px, py, pz)
+
+        return _apply_static_tape(spec, opp, leaf_fn, cfg.max_dist, px)
+
+    def _albedo_tile(rows_view, opp, px, py, pz):
+        if not spec.has_materials:
+            return ax_, ay_, az_
+
+        def leaf_fn(row):
+            t, rot = row_types[row]
+            d = _leaf_distance_tile(rows_view, row, t, rot, px, py, pz)
+            flag = rows_view[row, oc.LEAF_MAT_FLAG]
+            r = flag * rows_view[row, oc.LEAF_ALBEDO] + (1.0 - flag) * ax_
+            g = flag * rows_view[row, oc.LEAF_ALBEDO + 1] + (1.0 - flag) * ay_
+            b = flag * rows_view[row, oc.LEAF_ALBEDO + 2] + (1.0 - flag) * az_
+            return d, (r, g, b)
+
+        _, rgb = _apply_static_tape_color(
+            spec, opp, leaf_fn, cfg.max_dist, px, (ax_, ay_, az_)
+        )
+        return rgb
+
+    def _raygen(cam, x, y):
+        """View dirs + origins from 7 camera scalars (pos3, quat4)."""
+        vx = x * (tanf * aspect)
+        vy = y * tanf
+        vz = jnp.full(x.shape, -1.0, jnp.float32)
+        inv_norm = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        vx, vy, vz = vx * inv_norm, vy * inv_norm, vz * inv_norm
+        qw, qx, qy, qz = cam[3], cam[4], cam[5], cam[6]
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        dx = vx + qw * tx + (qy * tz - qz * ty)
+        dy = vy + qw * ty + (qz * tx - qx * tz)
+        dz = vz + qw * tz + (qx * ty - qy * tx)
+        ox = jnp.zeros_like(dx) + cam[0]
+        oy = jnp.zeros_like(dy) + cam[1]
+        oz = jnp.zeros_like(dz) + cam[2]
+        return ox, oy, oz, dx, dy, dz
+
+    def bwd_kernel(
+        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
+        t0_ref, st_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
+    ):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        step = i * S + s
+
+        @pl.when(step == 0)
+        def _():
+            for k in range(NSCAL):
+                acc[k] = 0.0
+
+        # --- differentiable scalar inputs, read from SMEM -----------------
+        lp_scal = tuple(
+            tuple(lp_ref[r, c] for c in range(16)) for r in pushed_rows
+        )
+        opp_scal = tuple(opp_ref[k] for k in range(n_real))
+        cam_scal = tuple(cam_ref[j] for j in range(7))
+        scal = (lp_scal, opp_scal, cam_scal)
+
+        def views(sc):
+            lp_t, opp_t, cam_t = sc
+            return (
+                _RowsView({r: lp_t[j] for j, r in enumerate(pushed_rows)}),
+                opp_t,
+                cam_t,
+            )
+
+        # --- primal: raygen + re-march from the prepass residuals ---------
+        base = i * (bm * LANES)
+        lin = (
+            base
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
+        )
+        a_ = s // naa
+        b_ = s - a_ * naa
+        fa = (a_.astype(jnp.float32) + 0.5) / naa - 0.5
+        fb = (b_.astype(jnp.float32) + 0.5) / naa - 0.5
+        ii = lin // width
+        jj = lin - ii * width
+        x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0 + fa * (2.0 / width)
+        y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5) / height + fb * (
+            2.0 / height
+        )
+
+        rows_p, opp_p, cam_p = views(scal)
+        ox, oy, oz, dx, dy, dz = _raygen(cam_p, x, y)
+
+        def scene_p(px, py, pz):
+            return _scene_tile(rows_p, opp_p, px, py, pz)
+
+        t0 = t0_ref[:]
+        live0 = st_ref[:]
+        t_cap = dx * 0.0 + 3.0e38
+        if cfg.bound_accel:
+            bnd = (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            _, _, t_cap = _bound_clip(
+                bnd, ox, oy, oz, dx, dy, dz, live0, t0, t_cap, cfg
+            )
+        t, hit = _fine_march_tile(
+            scene_p, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
+        )
+
+        gr = gr_ref[:] * inv_s
+        gg = gg_ref[:] * inv_s
+        gb = gb_ref[:] * inv_s
+
+        # --- explicit shading path: dL/d(scal, t) --------------------------
+        def shade_loss(sc, tt):
+            rows, opp, cam = views(sc)
+            o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+            px = o1x + d1x * tt * hit
+            py = o1y + d1y * tt * hit
+            pz = o1z + d1z * tt * hit
+
+            def scene(qx, qy, qz):
+                return _scene_tile(rows, opp, qx, qy, qz)
+
+            nx = d1x * 0.0
+            ny = nx
+            nz = nx
+            for kx, ky, kz in (
+                (1.0, -1.0, -1.0),
+                (-1.0, -1.0, 1.0),
+                (-1.0, 1.0, -1.0),
+                (1.0, 1.0, 1.0),
+            ):
+                dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
+                nx = nx + kx * dval
+                ny = ny + ky * dval
+                nz = nz + kz * dval
+            ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+            tlx = px - lx_
+            tly = py - ly_
+            tlz = pz - lz_
+            linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
+            diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+            diff = jnp.maximum(diff, cfg.ambient)
+            mar, mag, mab = _albedo_tile(rows, opp, px, py, pz)
+
+            dy_abs_ok = jnp.where(jnp.abs(d1y) > 1e-8, 1.0, 0.0)
+            dy_safe = jnp.where(jnp.abs(d1y) > 1e-8, d1y, 1e-8)
+            ft = (cfg.floor_y - o1y) / dy_safe
+            fx = jnp.clip(o1x + d1x * ft, -1e7, 1e7)
+            fz = jnp.clip(o1z + d1z * ft, -1e7, 1e7)
+            ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+            ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+            parity = (jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)).astype(
+                jnp.float32
+            )
+            on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+            fcr = (fb_r + cfg.floor_checker * parity) * on_floor
+            fcg = (fb_g + cfg.floor_checker * parity) * on_floor
+            fcb = (fb_b + cfg.floor_checker * parity) * on_floor
+
+            miss = 1.0 - hit
+            cr = jnp.sqrt(jnp.maximum(hit * (mar * diff) + miss * fcr, 0.0) + 1e-12)
+            cg = jnp.sqrt(jnp.maximum(hit * (mag * diff) + miss * fcg, 0.0) + 1e-12)
+            cb = jnp.sqrt(jnp.maximum(hit * (mab * diff) + miss * fcb, 0.0) + 1e-12)
+            return jnp.sum(cr * gr + cg * gg + cb * gb)
+
+        gscal1, gt = jax.grad(shade_loss, argnums=(0, 1))(scal, t)
+
+        # --- implicit term: dL/dt through the hit constraint ---------------
+        px = ox + dx * t * hit
+        py = oy + dy * t * hit
+        pz = oz + dz * t * hit
+        _, fdot = jax.jvp(
+            lambda tt: scene_p(ox + dx * tt, oy + dy * tt, oz + dz * tt),
+            (t,),
+            (jnp.ones_like(t),),
+        )
+        c = cfg.grad_denom_clamp
+        denom = jnp.where(jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c))
+        w = -gt * hit / denom
+
+        def implicit_loss(sc):
+            rows, opp, cam = views(sc)
+            o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+            qx = o1x + d1x * t * hit
+            qy = o1y + d1y * t * hit
+            qz = o1z + d1z * t * hit
+            return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz))
+
+        gscal2 = jax.grad(implicit_loss)(scal)
+
+        # --- accumulate flat ------------------------------------------------
+        flat1 = jax.tree_util.tree_leaves(gscal1)
+        flat2 = jax.tree_util.tree_leaves(gscal2)
+        for k, (g1, g2) in enumerate(zip(flat1, flat2)):
+            acc[k] += g1 + g2
+
+        @pl.when(step == P * S - 1)
+        def _():
+            for k in range(NSCAL):
+                gout_ref[k] = acc[k]
+
+    def _run_bwd(lp, opp, cam_vec, bnd, t0, status, g_img):
+        g = jnp.asarray(g_img, jnp.float32).reshape(hw, 3)
+        gpad = jnp.pad(g, ((0, n_pad - hw), (0, 0)))
+        gr = gpad[:, 0].reshape(n_pad // LANES, LANES)
+        gg = gpad[:, 1].reshape(n_pad // LANES, LANES)
+        gb = gpad[:, 2].reshape(n_pad // LANES, LANES)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(P, S),
+            in_specs=[
+                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[pltpu.SMEM((NSCAL,), jnp.float32)],
+        )
+        (gflat,) = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((NSCAL,), jnp.float32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(ops_np),
+            jnp.asarray(arg_np),
+            jnp.asarray(slot_np),
+            jnp.asarray(opp, jnp.float32),
+            jnp.asarray(lp, jnp.float32),
+            bnd,
+            jnp.asarray(cam_vec, jnp.float32),
+            t0,
+            status,
+            gr,
+            gg,
+            gb,
+        )
+
+        # Unpack the flat gradient vector.
+        d_lp = jnp.zeros((spec.n_leaves, oc.LEAF_PARAM_WIDTH), jnp.float32)
+        off = 0
+        for j, r in enumerate(pushed_rows):
+            d_lp = d_lp.at[r].set(gflat[off : off + 16])
+            off += 16
+        d_opp = jnp.zeros((spec.n_instr,), jnp.float32)
+        d_opp = d_opp.at[:n_real].set(gflat[off : off + n_real])
+        off += n_real
+        d_cam = jnp.concatenate([gflat[off : off + 7], jnp.zeros(1, jnp.float32)])
+        return d_lp, d_opp, d_cam
+
+    def _arrays_from(lp, opp):
+        return TapeArrays(
+            leaf_params=lp,
+            tape_ops=jnp.asarray(ops_np),
+            tape_arg=jnp.asarray(arg_np),
+            op_param=opp,
+            out_slot=jnp.asarray(slot_np),
+        )
+
+    @jax.custom_vjp
+    def render_lpc(lp, opp, cam_vec):
+        arrays = _arrays_from(lp, opp)
+        t0, status = fwd_render.coarse(arrays, cam_vec)
+        return fwd_render.fine(arrays, cam_vec, t0, status)
+
+    def render_fwd(lp, opp, cam_vec):
+        arrays = _arrays_from(lp, opp)
+        t0, status = fwd_render.coarse(arrays, cam_vec)
+        img = fwd_render.fine(arrays, cam_vec, t0, status)
+        bnd = compute_bound(
+            spec, types.SimpleNamespace(leaf_params=lp, op_param=opp)
+        )
+        return img, (lp, opp, cam_vec, bnd, t0, status)
+
+    def render_bwd(res, g_img):
+        lp, opp, cam_vec, bnd, t0, status = res
+        return _run_bwd(lp, opp, cam_vec, bnd, t0, status, g_img)
+
+    render_lpc.defvjp(render_fwd, render_bwd)
+
+    def render(arrays: TapeArrays, cam_vec):
+        return render_lpc(
+            jnp.asarray(arrays.leaf_params, jnp.float32),
+            jnp.asarray(arrays.op_param, jnp.float32),
+            jnp.asarray(cam_vec, jnp.float32),
+        )
+
+    return render

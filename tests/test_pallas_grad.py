@@ -1,0 +1,125 @@
+"""Fused-VJP renderer tests (ops.pallas_grad, interpreter mode on CPU).
+
+The backward Pallas kernel must reproduce the jnp implicit-function renderer's
+gradients. A tight min_dist is used for the comparisons so both forwards
+converge to (numerically) the same hit points — at the default min_dist the
+two marches stop anywhere within the same 0.01 band, which is a real forward
+difference, not a backward bug (tested separately at the bench config by
+bench.py on hardware).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raymarch_tpu as rm
+
+CFG = dataclasses.replace(
+    rm.DEFAULT_CONFIG,
+    aa_samples=2,
+    max_iter=300,
+    min_dist=1e-4,
+    bound_accel=True,
+)
+
+SCENE = (
+    rm.sphere(center=(-0.6, 0, 0), radius=0.9, material=(0.8, 0.2, 0.1))
+    | rm.box(center=(0.8, 0, 0), half_extents=(0.5, 0.5, 0.5))
+).union(rm.torus(center=(0, 0.8, 0), major_radius=0.7, minor_radius=0.25), k=0.2)
+
+CAM = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0.0, 0.0, 0.0))
+W, H = 32, 24
+
+
+@pytest.fixture(scope="module")
+def renderers():
+    import jax.numpy as jnp
+
+    spec, arrays = rm.compile_scene(SCENE, static=True)
+    from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+    rf = make_fused_render_vjp(spec, CFG, W, H, interpret=True, bm=8)
+    rj = rm.make_renderer(spec, W, H, CFG, mode="implicit")
+    cv = jnp.asarray(
+        np.concatenate([CAM.position, CAM.rotation, [0.0]]).astype(np.float32)
+    )
+    return spec, arrays, rf, rj, cv
+
+
+class TestFusedVJP:
+    def test_forward_matches_jnp(self, renderers):
+        import jax.numpy as jnp
+
+        _, arrays, rf, rj, cv = renderers
+        img_f = np.asarray(rf(arrays, cv))
+        img_j = np.asarray(rj(arrays, CAM))
+        assert np.abs(img_f - img_j).mean() < 1e-4
+
+    def test_param_grads_match_jnp(self, renderers):
+        import jax
+        import jax.numpy as jnp
+
+        _, arrays, rf, rj, cv = renderers
+        lp = jnp.asarray(arrays.leaf_params)
+        opp = jnp.asarray(arrays.op_param)
+
+        def loss_f(lp, opp):
+            a = dataclasses.replace(arrays, leaf_params=lp, op_param=opp)
+            return jnp.mean((rf(a, cv) - 0.3) ** 2)
+
+        def loss_j(lp, opp):
+            a = dataclasses.replace(arrays, leaf_params=lp, op_param=opp)
+            return jnp.mean((rj(a, CAM) - 0.3) ** 2)
+
+        gf_lp, gf_op = jax.grad(loss_f, argnums=(0, 1))(lp, opp)
+        gj_lp, gj_op = jax.grad(loss_j, argnums=(0, 1))(lp, opp)
+        scale = np.abs(np.asarray(gj_lp)).max()
+        np.testing.assert_allclose(
+            np.asarray(gf_lp), np.asarray(gj_lp), atol=0.01 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf_op), np.asarray(gj_op), atol=0.01 * scale
+        )
+        # Albedo gradient present (material system differentiable here too).
+        assert np.abs(np.asarray(gf_lp)[:, 12:15]).max() > 0
+
+    def test_camera_grads_match_jnp(self, renderers):
+        import jax
+        import jax.numpy as jnp
+
+        spec, arrays, rf, rj, cv = renderers
+
+        def loss_f(c):
+            return jnp.mean((rf(arrays, c) - 0.3) ** 2)
+
+        def loss_j(camera):
+            return jnp.mean((rj(arrays, camera) - 0.3) ** 2)
+
+        gf = np.asarray(jax.grad(loss_f)(cv))
+        gj = jax.grad(loss_j)(CAM)
+        gj_vec = np.concatenate(
+            [np.asarray(gj.position), np.asarray(gj.rotation)]
+        )
+        scale = np.abs(gj_vec).max()
+        np.testing.assert_allclose(gf[:7], gj_vec, atol=0.02 * scale)
+        assert gf[7] == 0.0
+
+    def test_make_renderer_backend(self, renderers):
+        import jax
+        import jax.numpy as jnp
+
+        spec, arrays, rf, _, cv = renderers
+        # The interpret-mode kernel factory is cached; rebuilding through
+        # make_renderer on CPU requires interpret, so call the factory path
+        # directly here and just check the backend wiring raises cleanly for
+        # non-implicit modes.
+        with pytest.raises(ValueError):
+            rm.make_renderer(spec, W, H, CFG, mode="forward", backend="pallas_fused")
+
+    def test_dynamic_tape_rejected(self):
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        spec, _ = rm.compile_scene(SCENE)  # dynamic
+        with pytest.raises(NotImplementedError):
+            make_fused_render_vjp(spec, CFG, W, H, interpret=True, bm=8)
