@@ -54,7 +54,13 @@ def main():
     base = None
     for n in sizes:
         mesh = make_mesh(n)
-        render = jax.jit(make_sharded_renderer(spec, W, H, mesh, cfg))
+        # On real chips use the production fused path (cone-prepass kernels
+        # per row band); on virtual CPU meshes the jnp backend exercises the
+        # same sharding program without Pallas interpret-mode overhead.
+        backend = "jnp" if on_cpu else "pallas_prepass"
+        render = jax.jit(
+            make_sharded_renderer(spec, W, H, mesh, cfg, backend=backend)
+        )
         # Force with a tiny on-device reduction (see utils.profiling).
         f = jax.jit(lambda a, c: jnp.sum(render(a, c)))
         float(np.asarray(f(arrays, cam)))

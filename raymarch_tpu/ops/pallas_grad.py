@@ -91,10 +91,14 @@ def make_fused_render_vjp(
     interpret: bool = False,
     bm: int = 64,
     prepass_block: int = 1,
+    band_rows: int | None = None,
 ):
-    """Build `render(arrays, cam_vec f32[8]) -> image[H,W,3]`, differentiable
-    w.r.t. `arrays.leaf_params`, `arrays.op_param`, and `cam_vec`, with both
-    passes fused in Pallas. Requires a static-tape spec."""
+    """Build `render(arrays, cam_vec f32[8]) -> image[band_rows or H, W, 3]`,
+    differentiable w.r.t. `arrays.leaf_params`, `arrays.op_param`, and
+    `cam_vec`, with both passes fused in Pallas. Requires a static-tape spec.
+    `band_rows` renders the horizontal band starting at image row
+    `cam_vec[7]` (see ops.pallas_prepass) — the row-sharded distributed fit
+    runs this per device."""
     if spec.static_tape is None:
         raise NotImplementedError(
             "fused-VJP rendering requires compile_scene(static=True)"
@@ -109,7 +113,8 @@ def make_fused_render_vjp(
     ops_np, arg_np, slot_np = _static_int_arrays(spec)
     naa = cfg.aa_samples
     S = naa * naa
-    hw = height * width
+    rows_out = band_rows if band_rows is not None else height
+    hw = rows_out * width
     n_pad = ((hw + bm * LANES - 1) // (bm * LANES)) * (bm * LANES)
     P = n_pad // (bm * LANES)
     tanf = math.tan(cfg.fovy / 2.0)
@@ -125,7 +130,7 @@ def make_fused_render_vjp(
     fwd_render = make_pallas_image_render_aa(
         spec, cfg, width, height, interpret=interpret,
         bm_coarse=64 if not interpret else 8, bm_fine=bm,
-        prepass_block=prepass_block,
+        prepass_block=prepass_block, band_rows=band_rows,
     )
 
     def _scene_tile(rows_view, opp, px, py, pz):
@@ -215,7 +220,7 @@ def make_fused_render_vjp(
         ii = lin // width
         jj = lin - ii * width
         x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0 + fa * (2.0 / width)
-        y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5) / height + fb * (
+        y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height + fb * (
             2.0 / height
         )
 

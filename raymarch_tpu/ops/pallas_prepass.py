@@ -196,9 +196,17 @@ def make_pallas_image_render_aa(
     bm_coarse: int = BM_COARSE,
     bm_fine: int = BM_FINE,
     prepass_block: int = 4,
+    band_rows: int | None = None,
 ):
     """Fused forward renderer with the cone-tracing AA prepass:
-    fn(arrays, cam_vec f32[8]=(pos3, quat4, 0)) -> image f32[H, W, 3].
+    fn(arrays, cam_vec f32[8]=(pos3, quat4, row_offset)) -> image
+    f32[band_rows or H, W, 3].
+
+    `band_rows` renders a horizontal band of the full W x H image: the band
+    starts at image row `cam_vec[7]` (a runtime value, so one compiled kernel
+    serves every band — this is how the row-sharded multi-chip renderer runs
+    the fused kernels per device). `band_rows=None` renders the full image
+    (callers pass 0.0 in the offset slot).
 
     `prepass_block` = B marches ONE cone ray per BxB pixel tile (cone wide
     enough to cover every AA sample of the tile); B=1 is a per-pixel prepass.
@@ -221,9 +229,10 @@ def make_pallas_image_render_aa(
     )
     naa = cfg.aa_samples
     S = naa * naa
-    hw = height * width
+    rows_out = band_rows if band_rows is not None else height
+    hw = rows_out * width
     bs = max(1, int(prepass_block))
-    hb = (height + bs - 1) // bs
+    hb = (rows_out + bs - 1) // bs
     wb = (width + bs - 1) // bs
     hwb = hb * wb
     nb_pad = ((hwb + bm_coarse * LANES - 1) // (bm_coarse * LANES)) * (
@@ -238,12 +247,13 @@ def make_pallas_image_render_aa(
     fb_r, fb_g, fb_b = cfg.floor_base
     eps = cfg.normal_eps
 
-    def _pixel_xy(lin):
-        """Pixel-center screen coords for flat pixel indices (f32 tiles)."""
+    def _pixel_xy(lin, i0):
+        """Pixel-center screen coords for band-local flat pixel indices; `i0`
+        is the band's first image row (f32 scalar)."""
         i = lin // width
         j = lin - i * width
         x = 2.0 * (j.astype(jnp.float32) + 0.5) / width - 1.0
-        y = 1.0 - 2.0 * (i.astype(jnp.float32) + 0.5) / height
+        y = 1.0 - 2.0 * (i.astype(jnp.float32) + 0.5 + i0) / height
         return x, y
 
     def _view_dirs(x, y, cam_ref):
@@ -280,7 +290,7 @@ def make_pallas_image_render_aa(
         bi = lin // wb
         bj = lin - bi * wb
         x = 2.0 * ((bj.astype(jnp.float32) + 0.5) * bs) / width - 1.0
-        y = 1.0 - 2.0 * ((bi.astype(jnp.float32) + 0.5) * bs) / height
+        y = 1.0 - 2.0 * ((bi.astype(jnp.float32) + 0.5) * bs + cam_ref[7]) / height
         dx, dy, dz = _view_dirs(x, y, cam_ref)
         ox = jnp.full((bm_coarse, LANES), cam_ref[0], jnp.float32)
         oy = jnp.full((bm_coarse, LANES), cam_ref[1], jnp.float32)
@@ -320,7 +330,7 @@ def make_pallas_image_render_aa(
         b = s - a * naa
         fa = (a.astype(jnp.float32) + 0.5) / naa - 0.5
         fb = (b.astype(jnp.float32) + 0.5) / naa - 0.5
-        x, y = _pixel_xy(lin)
+        x, y = _pixel_xy(lin, cam_ref[7])
         x = x + fa * (2.0 / width)
         y = y + fb * (2.0 / height)
         dx, dy, dz = _view_dirs(x, y, cam_ref)
@@ -469,7 +479,7 @@ def make_pallas_image_render_aa(
             v = v.reshape(-1)[:hwb].reshape(hb, wb)
             if bs > 1:
                 v = jnp.repeat(jnp.repeat(v, bs, axis=0), bs, axis=1)
-            v = v[:height, :width].reshape(-1)
+            v = v[:rows_out, :width].reshape(-1)
             return jnp.pad(v, (0, n_pad - hw)).reshape(n_pad // LANES, LANES)
 
         return expand(t0), expand(status)
@@ -512,7 +522,7 @@ def make_pallas_image_render_aa(
 
         img = jnp.stack(
             [v.reshape(-1)[:hw] for v in (r, g, b)], axis=-1
-        ).reshape(height, width, 3)
+        ).reshape(rows_out, width, 3)
         return img
 
     def render(arrays: TapeArrays, cam_vec):
