@@ -24,8 +24,14 @@ import numpy as np
 from .ops.tape import TapeArrays, TapeSpec
 
 
-def save_scene(path: str, wire_tape: np.ndarray, **metadata) -> None:
-    """Save a wire tape (+ optional JSON-able metadata, e.g. camera pose)."""
+def save_scene(path: str, wire_tape, **metadata) -> None:
+    """Save a wire tape — or a scene DSL node, which is encoded first —
+    (+ optional JSON-able metadata, e.g. camera pose)."""
+    from .models import csg
+    from .ops.tape import encode_wire
+
+    if isinstance(wire_tape, csg.CSGNode):
+        wire_tape = encode_wire(wire_tape)
     np.savez(
         path,
         wire_tape=np.asarray(wire_tape, dtype=np.uint32),

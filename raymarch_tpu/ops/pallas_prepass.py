@@ -102,13 +102,19 @@ def _bound_clip(bound, ox, oy, oz, dx, dy, dz, live_init, t_init, t_cap, cfg):
     return live, t0, cap
 
 
-def _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bound):
-    """Cone march one tile of pixel-center rays -> (t0, status) f32 tiles.
+def _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bound,
+                     t_in=None, live_in=None):
+    """Cone march one tile of cone-center rays -> (t0, status) f32 tiles.
 
     status=1: stopped by the cone threshold (d < min_dist + omega*t); every
-    sub-pixel ray of the pixel is guaranteed un-crossed up to t0 (penetration
+    ray within the cone is guaranteed un-crossed up to t0 (penetration
     bound omega^2*t/(1+omega), see module docstring). status=0: escaped
     (d > max_dist or past the bound exit) or budget exhausted -> miss.
+
+    `(t_in, live_in)` chain from a WIDER enclosing cone's prepass: rays the
+    wider cone killed stay dead, survivors start at its stop distance
+    (conservative because omega_wide > omega implies the wider guarantee
+    covers this cone's rays).
     """
     zero = dx * 0.0
     t_init = zero
@@ -118,6 +124,9 @@ def _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bound):
         live_init, t_init, t_cap = _bound_clip(
             bound, ox, oy, oz, dx, dy, dz, live_init, t_init, t_cap, cfg
         )
+    if t_in is not None:
+        live_init = live_init * live_in
+        t_init = jnp.maximum(t_init, t_in) * live_in
     inv1w = 1.0 / (1.0 + omega)
 
     def cond(state):
@@ -197,6 +206,7 @@ def make_pallas_image_render_aa(
     bm_fine: int = BM_FINE,
     prepass_block: int = 4,
     band_rows: int | None = None,
+    prepass_chain: bool = False,
 ):
     """Fused forward renderer with the cone-tracing AA prepass:
     fn(arrays, cam_vec f32[8]=(pos3, quat4, row_offset)) -> image
@@ -309,6 +319,44 @@ def make_pallas_image_render_aa(
         t0, near = _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bnd)
         # Padded lanes (block index >= Hb*Wb) are dead by construction.
         valid = jnp.where(lin < hwb, 1.0, 0.0)
+        t0_ref[:] = t0
+        st_ref[:] = near * valid
+
+    # --------- chained pixel-level coarse (refines the block level) ---------
+    omega_px = cone_omega(cfg, width, height, 1)
+
+    def coarse_px_kernel(
+        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
+        tin_ref, sin_ref, t0_ref, st_ref, *scratch
+    ):
+        pid = pl.program_id(0)
+        base = pid * (bm_coarse * LANES)
+        lin = (
+            base
+            + jax.lax.broadcasted_iota(jnp.int32, (bm_coarse, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (bm_coarse, LANES), 1)
+        )
+        x, y = _pixel_xy(lin, cam_ref[7])
+        dx, dy, dz = _view_dirs(x, y, cam_ref)
+        ox = jnp.full((bm_coarse, LANES), cam_ref[0], jnp.float32)
+        oy = jnp.full((bm_coarse, LANES), cam_ref[1], jnp.float32)
+        oz = jnp.full((bm_coarse, LANES), cam_ref[2], jnp.float32)
+
+        def scene(px, py, pz):
+            return scene_eval(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+            )
+
+        bnd = (
+            (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            if cfg.bound_accel
+            else None
+        )
+        t0, near = _cone_march_tile(
+            scene, ox, oy, oz, dx, dy, dz, cfg, omega_px, bnd,
+            t_in=tin_ref[:], live_in=sin_ref[:],
+        )
+        valid = jnp.where(lin < hw, 1.0, 0.0)
         t0_ref[:] = t0
         st_ref[:] = near * valid
 
@@ -482,7 +530,49 @@ def make_pallas_image_render_aa(
             v = v[:rows_out, :width].reshape(-1)
             return jnp.pad(v, (0, n_pad - hw)).reshape(n_pad // LANES, LANES)
 
-        return expand(t0), expand(status)
+        t0, status = expand(t0), expand(status)
+
+        if prepass_chain and bs > 1:
+            # Level 2: refine the block-level start distances with a
+            # per-pixel cone pass chained from them (rays start at the block
+            # cone's stop distance instead of the camera).
+            assert n_pad % (bm_coarse * LANES) == 0
+            px_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(n_pad // (bm_coarse * LANES),),
+                in_specs=[
+                    pl.BlockSpec(
+                        (bm_coarse, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (bm_coarse, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (bm_coarse, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (bm_coarse, LANES), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=_scratch_shapes(spec, bm_coarse),
+            )
+            t0, status = pl.pallas_call(
+                coarse_px_kernel,
+                grid_spec=px_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+                    jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+                ],
+                interpret=interpret,
+            )(*scene_args, t0, status)
+
+        return t0, status
 
     def run_fine(scene_args, t0, status):
         fine_spec = pltpu.PrefetchScalarGridSpec(

@@ -61,14 +61,14 @@ class TestPrepassRender:
     def static_compiled(self):
         return rm.compile_scene(SCENE, static=True)
 
-    @pytest.mark.parametrize("block", [1, 4])
-    def test_matches_plain_fused(self, static_compiled, block):
+    @pytest.mark.parametrize("block,chain", [(1, False), (4, False), (4, True)])
+    def test_matches_plain_fused(self, static_compiled, block, chain):
         spec, arrays = static_compiled
         W, H = 65, 47  # non-multiples of block and lane count
         ref = _reference_image(spec, arrays, CFG, W, H)
         rnd = make_pallas_image_render_aa(
             spec, CFG, W, H, interpret=True, bm_coarse=8, bm_fine=8,
-            prepass_block=block,
+            prepass_block=block, prepass_chain=chain,
         )
         img = np.asarray(rnd(arrays, _cam_vec(CAM)))
         assert img.shape == (H, W, 3)
