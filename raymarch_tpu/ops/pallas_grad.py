@@ -89,7 +89,7 @@ def make_fused_render_vjp(
     width: int,
     height: int,
     interpret: bool = False,
-    bm: int = 64,
+    bm: int | None = None,
     prepass_block: int = 1,
     band_rows: int | None = None,
 ):
@@ -103,6 +103,14 @@ def make_fused_render_vjp(
         raise NotImplementedError(
             "fused-VJP rendering requires compile_scene(static=True)"
         )
+    # The backward kernel holds the whole vjp graph in VMEM — residency
+    # scales with the unrolled leaf count (the 64-leaf scene needs 38MB at
+    # bm=64). Calibrated: bm * n_leaves * 4 rows of f32[128] lanes ~ 16MB.
+    if bm is None:
+        budget = 4096 // (4 * max(spec.n_leaves, 1))
+        bm = 8
+        while bm * 2 <= min(budget, 64):
+            bm *= 2
     leaf_rows = _leaf_static_rows(spec)
     row_types = {r: (t, rot) for r, t, rot in leaf_rows}
     pushed_rows = sorted({a for (c, a, _s) in spec.static_tape if c == oc.COP_PUSH})

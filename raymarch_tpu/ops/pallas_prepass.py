@@ -60,6 +60,20 @@ BM_COARSE = 32
 BM_FINE = 128
 
 
+def _auto_bm(spec, requested, cap):
+    """Tile height: big tiles amortize dispatch, but the unrolled static-tape
+    scene eval's VMEM residency grows with the leaf count — large scenes need
+    shorter tiles (v5e VMEM is 16MB; the 64-leaf bench OOMs at bm=128)."""
+    if requested is not None:
+        return requested
+    n = spec.n_leaves
+    if n <= 24:
+        return cap
+    if n <= 96:
+        return min(cap, 64)
+    return min(cap, 32)
+
+
 def cone_omega(cfg: RenderConfig, width: int, height: int, block: int = 1) -> float:
     """Max angular deviation (radians, conservative) of any AA sample ray in a
     `block x block` pixel tile from the tile-center ray. Pixel centers sit at
@@ -202,8 +216,8 @@ def make_pallas_image_render_aa(
     width: int,
     height: int,
     interpret: bool = False,
-    bm_coarse: int = BM_COARSE,
-    bm_fine: int = BM_FINE,
+    bm_coarse: int | None = None,
+    bm_fine: int | None = None,
     prepass_block: int = 4,
     band_rows: int | None = None,
     prepass_chain: bool = False,
@@ -227,6 +241,8 @@ def make_pallas_image_render_aa(
     (hits agree within the min_dist tolerance; see module docstring for the
     conservative-cone argument); AA samples share the coarse march.
     """
+    bm_coarse = _auto_bm(spec, bm_coarse, BM_COARSE * 2)
+    bm_fine = _auto_bm(spec, bm_fine, BM_FINE)
     leaf_rows = _leaf_static_rows(spec)
     scene_eval = _make_scene_eval(spec, cfg, leaf_rows, bm_coarse)
     scene_eval_f = _make_scene_eval(spec, cfg, leaf_rows, bm_fine)
