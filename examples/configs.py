@@ -63,26 +63,29 @@ def config1():
 
 
 def config2():
-    """Multi-primitive CSG 512^2."""
+    """Multi-primitive CSG 512^2 with materials (per-primitive albedos)."""
     import jax
 
     import raymarch_tpu as rm
 
     scene = (
-        rm.sphere(center=(-0.6, 0, 0), radius=0.9)
-        | rm.box(center=(0.8, 0, 0), half_extents=(0.5, 0.5, 0.5)).rotate_axis_angle(
-            (0, 1, 0), 0.5
-        )
+        rm.sphere(center=(-0.6, 0, 0), radius=0.9, material=(0.7, 0.2, 0.15))
+        | rm.box(center=(0.8, 0, 0), half_extents=(0.5, 0.5, 0.5),
+                 material=(0.2, 0.4, 0.8)).rotate_axis_angle((0, 1, 0), 0.5)
+        | rm.capsule(center=(0.0, -0.6, 0.9), radius=0.25, half_height=0.4,
+                     material=(0.8, 0.7, 0.2))
     ) - rm.torus(center=(0, 0.8, 0), major_radius=0.7, minor_radius=0.25)
     cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
     W = H = 512
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
     spec, arrays = rm.compile_scene(scene, static=True)
-    render = jax.jit(rm.make_renderer(spec, W, H, mode="forward", chunk=1 << 18))
+    backend = "pallas_prepass" if on_tpu else "jnp"
+    render = jax.jit(rm.make_renderer(spec, W, H, mode="forward", backend=backend,
+                                      chunk=None if on_tpu else 1 << 18))
     t0 = time.perf_counter()
     img = np.asarray(render(arrays, cam))
     dt = time.perf_counter() - t0
-    n = W * H * 16
-    print(f"config2: {W}x{H} in {dt:.2f}s (incl. compile)")
+    print(f"config2: {W}x{H} ({backend}) in {dt:.2f}s (incl. compile)")
     ascii_dump(img)
     return img
 
@@ -101,7 +104,8 @@ def config3():
     )
     cam = rm.Camera.looking_at(position=(0.0, 0.6, 3.5), target=(0, 0, 0))
     W = H = 48
-    spec, arrays = rm.compile_scene(scene)
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    spec, arrays = rm.compile_scene(scene, static=True)
     render = jax.jit(rm.make_renderer(spec, W, H, cfg, mode="forward"))
     target = np.asarray(render(arrays, cam))
 
@@ -121,6 +125,7 @@ def config3():
         spec, arrays0, cam, target,
         width=W, height=H, cfg=cfg, steps=60, learning_rate=1e-2,
         leaf_mask=m_leaf, op_mask=m_op, log_every=20,
+        backend="pallas_fused" if on_tpu else "jnp",
     )
     cx = float(np.asarray(res.arrays.leaf_params)[0, 4])
     k = float(np.asarray(res.arrays.op_param)[ki])
@@ -142,7 +147,7 @@ def config4():
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     W, H = (1920, 1080) if on_tpu else (192, 108)
-    backend = "pallas_full" if on_tpu else "jnp"
+    backend = "pallas_prepass" if on_tpu else "jnp"
 
     g = CSGNodeGraph()
     root = g.add_root()
@@ -207,7 +212,9 @@ def config5():
     mesh = make_mesh()
     W, H = (3840, 2160) if on_tpu else (384, 216)
     cfg = rm.DEFAULT_CONFIG if on_tpu else rm.RenderConfig(aa_samples=2, max_iter=64)
-    render = jax.jit(make_sharded_renderer(spec, W, H, mesh, cfg))
+    render = jax.jit(make_sharded_renderer(
+        spec, W, H, mesh, cfg, backend="pallas_prepass" if on_tpu else "jnp"
+    ))
     t0 = time.perf_counter()
     img = np.asarray(render(arrays, cam))
     dt = time.perf_counter() - t0

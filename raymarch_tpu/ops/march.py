@@ -248,6 +248,7 @@ def make_renderer(
     mode: str = "implicit",
     chunk: Optional[int] = None,
     backend: str = "jnp",
+    interpret: bool = False,
 ):
     """Build `render(arrays, camera) -> image[H,W,3]`.
 
@@ -278,10 +279,10 @@ def make_renderer(
         from .pallas_march import make_march_pallas, make_pallas_ray_march
 
         if mode == "forward":
-            raw = make_pallas_ray_march(spec, cfg)
+            raw = make_pallas_ray_march(spec, cfg, interpret=interpret)
             march = lambda o, d, a: raw(a, o, d)
         elif mode == "implicit":
-            march = make_march_pallas(spec, cfg)
+            march = make_march_pallas(spec, cfg, interpret=interpret)
         else:
             raise ValueError("pallas backend supports modes 'forward'/'implicit'")
     elif backend == "pallas_image":
@@ -289,7 +290,29 @@ def make_renderer(
             raise ValueError("pallas_image backend is forward-only")
         from .pallas_march import make_pallas_image_march
 
-        image_march = make_pallas_image_march(spec, cfg, width, height)
+        image_march = make_pallas_image_march(spec, cfg, width, height, interpret=interpret)
+    elif backend == "pallas_prepass":
+        # Fastest forward path: cone-prepass fused renderer (see
+        # ops.pallas_prepass). Forward-only; for gradients use pallas_fused.
+        if mode != "forward":
+            raise ValueError("pallas_prepass backend is forward-only")
+        from .pallas_prepass import make_pallas_image_render_aa
+
+        rp = make_pallas_image_render_aa(
+            spec, cfg, width, height, prepass_block=1, interpret=interpret
+        )
+
+        def render_prepass(arrays: TapeArrays, camera):
+            cam_vec = jnp.concatenate(
+                [
+                    jnp.asarray(camera.position, jnp.float32),
+                    jnp.asarray(camera.rotation, jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                ]
+            )
+            return rp(arrays, cam_vec)
+
+        return render_prepass
     elif backend == "pallas_fused":
         # Fully fused fwd+bwd: cone-prepass forward + the Pallas backward
         # kernel (ops.pallas_grad). Differentiable w.r.t. arrays.leaf_params,
@@ -298,7 +321,7 @@ def make_renderer(
             raise ValueError("pallas_fused backend is implicit-mode only")
         from .pallas_grad import make_fused_render_vjp
 
-        rv = make_fused_render_vjp(spec, cfg, width, height)
+        rv = make_fused_render_vjp(spec, cfg, width, height, interpret=interpret)
 
         def render_fused(arrays: TapeArrays, camera):
             cam_vec = jnp.concatenate(
@@ -316,7 +339,7 @@ def make_renderer(
             raise ValueError("pallas_full backend is forward-only")
         from .pallas_march import make_pallas_image_render
 
-        rgb_render = make_pallas_image_render(spec, cfg, width, height)
+        rgb_render = make_pallas_image_render(spec, cfg, width, height, interpret=interpret)
 
         def render_full(arrays: TapeArrays, camera):
             cam_vec = jnp.concatenate(
