@@ -20,6 +20,7 @@ from .ops.raygen import camera_rays_np, raygen_flat
 from .ops.sdf import make_scene_fn
 from .ops.tape import TapeArrays, TapeSpec, compile_scene, compile_wire, encode_wire
 from .utils.camera import Camera, OrbitCameraController
+from .viewer import ViewerApp
 from .utils.stats import MarchStats, march_stats
 
 __version__ = "0.1.0"
@@ -56,4 +57,5 @@ __all__ = [
     "encode_wire",
     "Camera",
     "OrbitCameraController",
+    "ViewerApp",
 ]

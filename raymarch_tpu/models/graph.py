@@ -330,3 +330,57 @@ class CSGNodeGraph:
             result = None  # malformed constants degrade like missing inputs
         cache[node.id] = result
         return result
+
+    # -- serialization ----------------------------------------------------
+    # The reference keeps its editor state only in memory
+    # (src/csg_node_graph.rs:233-239, GraphEditorState); here the graph is a
+    # plain JSON-able dict so editor sessions checkpoint/restore and travel
+    # over the viewer's HTTP API.
+
+    def to_dict(self) -> Dict[str, Any]:
+        """JSON-able snapshot: node connections become {"$node": id}."""
+        nodes = []
+        for n in self.nodes.values():
+            inputs = {}
+            for k, v in n.inputs.items():
+                if isinstance(v, tuple) and len(v) == 2 and v[0] == "node":
+                    inputs[k] = {"$node": v[1]}
+                elif isinstance(v, tuple):
+                    inputs[k] = list(v)
+                else:
+                    inputs[k] = v
+            nodes.append({"id": n.id, "template": n.template, "inputs": inputs})
+        return {"nodes": nodes}
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "CSGNodeGraph":
+        """Inverse of to_dict. Node ids are preserved; the id counter resumes
+        past the largest id so later add_node calls never collide."""
+        g = cls()
+        max_id = -1
+        for nd in data.get("nodes", ()):
+            nid = int(nd["id"])
+            if nd["template"] not in TEMPLATES:
+                raise KeyError(f"unknown template {nd['template']!r}")
+            if nid in g.nodes:
+                raise ValueError(f"duplicate node id {nid}")
+            g.nodes[nid] = Node(nid, nd["template"])
+            max_id = max(max_id, nid)
+        g._ids = itertools.count(max_id + 1)
+        for nd in data.get("nodes", ()):
+            node = g.nodes[int(nd["id"])]
+            for k, v in nd.get("inputs", {}).items():
+                spec = g._input_spec(node, k)  # validates the input name
+                if isinstance(v, dict) and "$node" in v:
+                    src = int(v["$node"])
+                    if src not in g.nodes:
+                        raise KeyError(f"connection to missing node {src}")
+                    node.inputs[k] = ("node", src)
+                else:
+                    if spec.kind == SDF:
+                        raise TypeError(
+                            f"{node.template}.{k} is an SDF input: must be "
+                            '{"$node": id}'
+                        )
+                    node.inputs[k] = tuple(v) if isinstance(v, list) else v
+        return g

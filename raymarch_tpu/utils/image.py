@@ -20,8 +20,8 @@ def to_uint8(img) -> np.ndarray:
     return (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img) -> None:
-    """Write an [H,W,3] float or uint8 array as an RGB PNG."""
+def png_bytes(img) -> bytes:
+    """Encode an [H,W,3] float or uint8 array as RGB PNG bytes."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         a = to_uint8(a)
@@ -40,11 +40,18 @@ def write_png(path: str, img) -> None:
     # Filter type 0 (None) per scanline.
     raw = b"".join(b"\x00" + a[i].tobytes() for i in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img) -> None:
+    """Write an [H,W,3] float or uint8 array as an RGB PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img))
 
 
 def ascii_preview(img, width: int = 64) -> str:
