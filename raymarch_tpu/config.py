@@ -79,5 +79,17 @@ class RenderConfig:
     # default so step statistics match the reference's march semantics.
     bound_accel: bool = False
 
+    # Share the tetrahedron normal across the AA samples of a pixel
+    # (cone-prepass renderer only): the first sample that hits computes the
+    # 4-tap normal; later samples of the same pixel reuse it (diffuse is
+    # still recomputed at each sample's own hit point). Approximate at
+    # silhouettes (the reference evaluates normals per sample, wgsl:135-144)
+    # and off by default. Measured effect on a v5e at 1080p: only ~1-3%
+    # faster (4-leaf and 64-leaf scenes) — the tap block is skipped per
+    # TILE, and a 16K-pixel tile almost always contains some newly-hit lane
+    # at every AA sample, so the skip rarely fires; the fine march, not the
+    # taps, bounds the fine kernel. Kept as a documented experiment.
+    aa_shared_normals: bool = False
+
 
 DEFAULT_CONFIG = RenderConfig()

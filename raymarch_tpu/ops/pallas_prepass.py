@@ -377,10 +377,17 @@ def make_pallas_image_render_aa(
         st_ref[:] = near * valid
 
     # ---------------- fine kernel: fused render, grid (pixel_tile, sample) --
+    share_normals = cfg.aa_shared_normals
+
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
         t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch
     ):
+        if share_normals:
+            # Normal cache persists across the sample grid dim (s is the
+            # innermost grid axis, so samples of one pixel tile run
+            # back-to-back); reset per pixel tile at s == 0.
+            *scratch, nx_ref, ny_ref, nz_ref, nv_ref = scratch
         pid = pl.program_id(0)
         s = pl.program_id(1)
         base = pid * (bm_fine * LANES)
@@ -419,14 +426,21 @@ def make_pallas_image_render_aa(
 
         any_near = jnp.max(live0) > 0.0
 
-        def do_surface():
-            t, hit = _fine_march_tile(
-                scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
-            )
-            px = ox + dx * t * hit
-            py = oy + dy * t * hit
-            pz = oz + dz * t * hit
-            nx = dx * 0.0
+        if share_normals:
+
+            @pl.when(s == 0)
+            def _():
+                # Zero the whole cache: scratch is uninitialized VMEM, and a
+                # stray NaN/inf would survive the hit-mask multiply
+                # (NaN * 0 = NaN). Zero normals shade to diffuse 0 and are
+                # only ever read masked-out.
+                nx_ref[:] = jnp.zeros_like(nx_ref)
+                ny_ref[:] = jnp.zeros_like(ny_ref)
+                nz_ref[:] = jnp.zeros_like(nz_ref)
+                nv_ref[:] = jnp.zeros_like(nv_ref)
+
+        def _normal_taps(px, py, pz):
+            nx = px * 0.0
             ny = nx
             nz = nx
             for kx, ky, kz in (
@@ -439,6 +453,42 @@ def make_pallas_image_render_aa(
                 nx = nx + kx * dval
                 ny = ny + ky * dval
                 nz = nz + kz * dval
+            return nx, ny, nz
+
+        def do_surface():
+            t, hit = _fine_march_tile(
+                scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
+            )
+            px = ox + dx * t * hit
+            py = oy + dy * t * hit
+            pz = oz + dz * t * hit
+            if not share_normals:
+                nx, ny, nz = _normal_taps(px, py, pz)
+            else:
+                # First sample to hit a lane computes the 4-tap normal at its
+                # own hit point and caches it; later samples of the pixel
+                # reuse it (diffuse still uses their own hit position). The
+                # tap block is skipped entirely once every hit lane has a
+                # cached normal — in the common case it runs once per pixel
+                # tile instead of once per AA sample.
+                need = hit * (1.0 - nv_ref[:])
+
+                def calc():
+                    return _normal_taps(px, py, pz)
+
+                def skip():
+                    z = dx * 0.0
+                    return z, z, z
+
+                nxn, nyn, nzn = jax.lax.cond(jnp.max(need) > 0.0, calc, skip)
+                fresh = need > 0.0
+                nx = jnp.where(fresh, nxn, nx_ref[:])
+                ny = jnp.where(fresh, nyn, ny_ref[:])
+                nz = jnp.where(fresh, nzn, nz_ref[:])
+                nx_ref[:] = nx
+                ny_ref[:] = ny
+                nz_ref[:] = nz
+                nv_ref[:] = jnp.maximum(nv_ref[:], hit)
             ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
             tlx = px - lx_
             tly = py - ly_
@@ -591,6 +641,11 @@ def make_pallas_image_render_aa(
         return t0, status
 
     def run_fine(scene_args, t0, status):
+        fine_scratch = list(_scratch_shapes(spec, bm_fine))
+        if share_normals:
+            fine_scratch += [
+                pltpu.VMEM((bm_fine, LANES), jnp.float32) for _ in range(4)
+            ]
         fine_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(n_pad // (bm_fine * LANES), S),
@@ -613,7 +668,7 @@ def make_pallas_image_render_aa(
                     (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            scratch_shapes=_scratch_shapes(spec, bm_fine),
+            scratch_shapes=fine_scratch,
         )
         r, g, b = pl.pallas_call(
             fine_kernel,

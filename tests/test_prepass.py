@@ -118,6 +118,25 @@ class TestPrepassRender:
         # Rows well below the horizon (near floor, steep incidence) agree.
         assert d[H // 2 + 4 :].mean() < 1e-3
 
+    def test_aa_shared_normals(self, static_compiled):
+        # cfg.aa_shared_normals reuses the first hitting sample's 4-tap
+        # normal for the pixel's other AA samples. Approximate by design:
+        # per-sample normals differ by sub-pixel curvature, so tolerances
+        # here are statistical (at 1080p the same stats are ~10x tighter;
+        # measured frac px>0.05 = 0.07%).
+        spec, arrays = static_compiled
+        W, H = 65, 47
+        ref = _reference_image(spec, arrays, CFG, W, H)
+        cfg = dataclasses.replace(CFG, aa_shared_normals=True)
+        rnd = make_pallas_image_render_aa(
+            spec, cfg, W, H, interpret=True, bm_coarse=8, bm_fine=8
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        assert np.isfinite(img).all()
+        d = np.abs(img - ref)
+        assert d.mean() < 5e-3, f"mean diff {d.mean()}"
+        assert (d.max(-1) > 0.05).mean() < 0.03
+
     def test_runtime_edit_no_retrace(self, static_compiled):
         # Editing leaf params must reuse the same compiled render (tape is
         # data) — mirror of the reference's no-recompile editability.
