@@ -7,13 +7,14 @@ reverse pass roughly triples that traffic. This module keeps the whole
 gradient computation on-chip:
 
 - **Forward** = the cone-prepass fused renderer (ops.pallas_prepass): coarse
-  cone march shared by all AA rays + fused fine kernel. Residuals saved for
-  the backward pass are only the per-pixel prepass outputs (t0, status) — a
-  few MB — NOT per-ray state.
+  cone march shared by all AA rays + fused fine kernel, which ALSO writes
+  each AA sample's converged (t, hit) as residual planes (8 bytes/sample —
+  at 1080p/16AA that is ~266 MB of HBM, far cheaper than the ~8 scene
+  evaluations per sample a backward re-march would cost).
 
 - **Backward** = ONE Pallas kernel over (pixel_tile, aa_sample) that:
-  1. re-marches each fine ray from t0 (a few cheap steps; bitwise-identical
-     to the forward march, so t/hit agree exactly),
+  1. streams the forward march's (t, hit) residuals back in (bitwise the
+     forward values, so the replayed shading chain matches exactly),
   2. rebuilds the shading chain as a function of the SMEM scalar parameters
      (leaf params, op params, camera pose) and applies `jax.grad` to the
      tile-local loss contribution  dot(color, g_pixel)/S  — JAX traces the
@@ -35,7 +36,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-import types
 
 import jax
 import jax.numpy as jnp
@@ -50,9 +50,8 @@ from .pallas_march import (
     LANES,
     _leaf_static_rows,
     _leaf_distance_tile,
-    compute_bound,
 )
-from .pallas_prepass import _bound_clip, _fine_march_tile, make_pallas_image_render_aa
+from .pallas_prepass import make_pallas_image_render_aa
 from .sdf import _apply_static_tape, _apply_static_tape_color
 
 
@@ -186,8 +185,8 @@ def make_fused_render_vjp(
         return ox, oy, oz, dx, dy, dz
 
     def bwd_kernel(
-        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        t0_ref, st_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
+        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref,
+        tm_ref, hm_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
     ):
         i = pl.program_id(0)
         s = pl.program_id(1)
@@ -238,17 +237,9 @@ def make_fused_render_vjp(
         def scene_p(px, py, pz):
             return _scene_tile(rows_p, opp_p, px, py, pz)
 
-        t0 = t0_ref[:]
-        live0 = st_ref[:]
-        t_cap = dx * 0.0 + 3.0e38
-        if cfg.bound_accel:
-            bnd = (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
-            _, _, t_cap = _bound_clip(
-                bnd, ox, oy, oz, dx, dy, dz, live0, t0, t_cap, cfg
-            )
-        t, hit = _fine_march_tile(
-            scene_p, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
-        )
+        # Forward-march residuals (bitwise the fwd kernel's values).
+        t = tm_ref[:]
+        hit = hm_ref[:]
 
         gr = gr_ref[:] * inv_s
         gg = gg_ref[:] * inv_s
@@ -344,23 +335,23 @@ def make_fused_render_vjp(
             for k in range(NSCAL):
                 gout_ref[k] = acc[k]
 
-    def _run_bwd(lp, opp, cam_vec, bnd, t0, status, g_img):
+    def _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img):
         g = jnp.asarray(g_img, jnp.float32).reshape(hw, 3)
         gpad = jnp.pad(g, ((0, n_pad - hw), (0, 0)))
         gr = gpad[:, 0].reshape(n_pad // LANES, LANES)
         gg = gpad[:, 1].reshape(n_pad // LANES, LANES)
         gb = gpad[:, 2].reshape(n_pad // LANES, LANES)
 
+        px_spec = pl.BlockSpec(
+            (bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        th_spec = pl.BlockSpec(
+            (bm, LANES), lambda i, s, *_: (i * S + s, 0), memory_space=pltpu.VMEM
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=6,
             grid=(P, S),
-            in_specs=[
-                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[pltpu.SMEM((NSCAL,), jnp.float32)],
         )
@@ -375,10 +366,9 @@ def make_fused_render_vjp(
             jnp.asarray(slot_np),
             jnp.asarray(opp, jnp.float32),
             jnp.asarray(lp, jnp.float32),
-            bnd,
             jnp.asarray(cam_vec, jnp.float32),
-            t0,
-            status,
+            t_all,
+            hit_all,
             gr,
             gg,
             gb,
@@ -414,15 +404,12 @@ def make_fused_render_vjp(
     def render_fwd(lp, opp, cam_vec):
         arrays = _arrays_from(lp, opp)
         t0, status = fwd_render.coarse(arrays, cam_vec)
-        img = fwd_render.fine(arrays, cam_vec, t0, status)
-        bnd = compute_bound(
-            spec, types.SimpleNamespace(leaf_params=lp, op_param=opp)
-        )
-        return img, (lp, opp, cam_vec, bnd, t0, status)
+        img, t_all, hit_all = fwd_render.fine_res(arrays, cam_vec, t0, status)
+        return img, (lp, opp, cam_vec, t_all, hit_all)
 
     def render_bwd(res, g_img):
-        lp, opp, cam_vec, bnd, t0, status = res
-        return _run_bwd(lp, opp, cam_vec, bnd, t0, status, g_img)
+        lp, opp, cam_vec, t_all, hit_all = res
+        return _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img)
 
     render_lpc.defvjp(render_fwd, render_bwd)
 

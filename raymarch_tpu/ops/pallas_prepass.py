@@ -381,8 +381,13 @@ def make_pallas_image_render_aa(
 
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch
+        t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch, emit_th=False
     ):
+        if emit_th:
+            # Residual variant (ops.pallas_grad): also write each sample's
+            # (t, hit) so the backward kernel replays shading without
+            # re-marching. S blocks per pixel tile, indexed i*S + s.
+            tm_ref, hm_ref, *scratch = scratch
         if share_normals:
             # Normal cache persists across the sample grid dim (s is the
             # innermost grid axis, so samples of one pixel tile run
@@ -513,7 +518,10 @@ def make_pallas_image_render_aa(
             z = dx * 0.0
             return z, z, z, z + ax_, z + ay_, z + az_
 
-        _, hit, diff, mar, mag, mab = jax.lax.cond(any_near, do_surface, no_surface)
+        t_m, hit, diff, mar, mag, mab = jax.lax.cond(any_near, do_surface, no_surface)
+        if emit_th:
+            tm_ref[:] = t_m
+            hm_ref[:] = hit
 
         # Analytic checkerboard floor on miss (wgsl:117-128).
         dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
@@ -640,50 +648,55 @@ def make_pallas_image_render_aa(
 
         return t0, status
 
-    def run_fine(scene_args, t0, status):
+    def run_fine(scene_args, t0, status, emit_th=False):
         fine_scratch = list(_scratch_shapes(spec, bm_fine))
         if share_normals:
             fine_scratch += [
                 pltpu.VMEM((bm_fine, LANES), jnp.float32) for _ in range(4)
             ]
+        px_spec = pl.BlockSpec(
+            (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_specs = [px_spec, px_spec, px_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
+            for _ in range(3)
+        ]
+        kernel = fine_kernel
+        if emit_th:
+            # Per-sample residual planes: S blocks per pixel tile, laid out
+            # block-major as i*S + s so the backward kernel (same grid)
+            # streams them back with the identical index map.
+            th_spec = pl.BlockSpec(
+                (bm_fine, LANES),
+                lambda i, s, *_: (i * S + s, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_specs += [th_spec, th_spec]
+            out_shape += [
+                jax.ShapeDtypeStruct((n_pad * S // LANES, LANES), jnp.float32)
+                for _ in range(2)
+            ]
+            kernel = functools.partial(fine_kernel, emit_th=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(n_pad // (bm_fine * LANES), S),
-            in_specs=[
-                pl.BlockSpec(
-                    (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
+            in_specs=[px_spec, px_spec],
+            out_specs=out_specs,
             scratch_shapes=fine_scratch,
         )
-        r, g, b = pl.pallas_call(
-            fine_kernel,
+        r, g, b, *th = pl.pallas_call(
+            kernel,
             grid_spec=fine_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(*scene_args, t0, status)
 
         img = jnp.stack(
             [v.reshape(-1)[:hw] for v in (r, g, b)], axis=-1
         ).reshape(rows_out, width, 3)
+        if emit_th:
+            return img, th[0], th[1]
         return img
 
     def render(arrays: TapeArrays, cam_vec):
@@ -695,5 +708,12 @@ def make_pallas_image_render_aa(
     render.coarse = lambda arrays, cam_vec: run_coarse(_scene_args(arrays, cam_vec))
     render.fine = lambda arrays, cam_vec, t0, st: run_fine(
         _scene_args(arrays, cam_vec), t0, st
+    )
+    # Residual-emitting fine pass for the fused VJP (ops.pallas_grad): also
+    # returns each AA sample's (t, hit) so the backward kernel skips the
+    # re-march (HBM for the residuals is far cheaper than recomputing the
+    # march: ~8 f32/pixel vs ~8 full scene evals per sample).
+    render.fine_res = lambda arrays, cam_vec, t0, st: run_fine(
+        _scene_args(arrays, cam_vec), t0, st, emit_th=True
     )
     return render
