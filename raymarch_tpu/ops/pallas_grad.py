@@ -299,36 +299,70 @@ def make_fused_render_vjp(
             cb = jnp.sqrt(jnp.maximum(hit * (mab * diff) + miss * fcb, 0.0) + 1e-12)
             return jnp.sum(cr * gr + cg * gg + cb * gb)
 
-        gscal1, gt = jax.grad(shade_loss, argnums=(0, 1))(scal, t)
+        def grads_full():
+            gscal1, gt = jax.grad(shade_loss, argnums=(0, 1))(scal, t)
 
-        # --- implicit term: dL/dt through the hit constraint ---------------
-        px = ox + dx * t * hit
-        py = oy + dy * t * hit
-        pz = oz + dz * t * hit
-        _, fdot = jax.jvp(
-            lambda tt: scene_p(ox + dx * tt, oy + dy * tt, oz + dz * tt),
-            (t,),
-            (jnp.ones_like(t),),
-        )
-        c = cfg.grad_denom_clamp
-        denom = jnp.where(jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c))
-        w = -gt * hit / denom
+            # --- implicit term: dL/dt through the hit constraint -----------
+            _, fdot = jax.jvp(
+                lambda tt: scene_p(ox + dx * tt, oy + dy * tt, oz + dz * tt),
+                (t,),
+                (jnp.ones_like(t),),
+            )
+            c = cfg.grad_denom_clamp
+            denom = jnp.where(
+                jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c)
+            )
+            w = -gt * hit / denom
 
-        def implicit_loss(sc):
-            rows, opp, cam = views(sc)
-            o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
-            qx = o1x + d1x * t * hit
-            qy = o1y + d1y * t * hit
-            qz = o1z + d1z * t * hit
-            return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz))
+            def implicit_loss(sc):
+                rows, opp, cam = views(sc)
+                o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+                qx = o1x + d1x * t * hit
+                qy = o1y + d1y * t * hit
+                qz = o1z + d1z * t * hit
+                return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz))
 
-        gscal2 = jax.grad(implicit_loss)(scal)
+            gscal2 = jax.grad(implicit_loss)(scal)
+            flat1 = jax.tree_util.tree_leaves(gscal1)
+            flat2 = jax.tree_util.tree_leaves(gscal2)
+            return [g1 + g2 for g1, g2 in zip(flat1, flat2)]
+
+        def grads_floor_only():
+            # No lane in this tile hit a surface, so shade_loss reduces
+            # EXACTLY to its floor/background term: the scene-parameter
+            # gradients are structurally zero and only the camera pose feeds
+            # the checkerboard. Skipping the tap/scene transposes here is
+            # exact, not an approximation — and ~half of all 1080p blocks on
+            # typical scenes are sky/floor-only.
+            def floor_loss(sc):
+                rows, opp, cam = views(sc)
+                o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+                dy_abs_ok = jnp.where(jnp.abs(d1y) > 1e-8, 1.0, 0.0)
+                dy_safe = jnp.where(jnp.abs(d1y) > 1e-8, d1y, 1e-8)
+                ft = (cfg.floor_y - o1y) / dy_safe
+                fx = jnp.clip(o1x + d1x * ft, -1e7, 1e7)
+                fz = jnp.clip(o1z + d1z * ft, -1e7, 1e7)
+                ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+                ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+                parity = (
+                    jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)
+                ).astype(jnp.float32)
+                on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+                fcr = (fb_r + cfg.floor_checker * parity) * on_floor
+                fcg = (fb_g + cfg.floor_checker * parity) * on_floor
+                fcb = (fb_b + cfg.floor_checker * parity) * on_floor
+                cr = jnp.sqrt(jnp.maximum(fcr, 0.0) + 1e-12)
+                cg = jnp.sqrt(jnp.maximum(fcg, 0.0) + 1e-12)
+                cb = jnp.sqrt(jnp.maximum(fcb, 0.0) + 1e-12)
+                return jnp.sum(cr * gr + cg * gg + cb * gb)
+
+            return jax.tree_util.tree_leaves(jax.grad(floor_loss)(scal))
+
+        flat = jax.lax.cond(jnp.max(hit) > 0.0, grads_full, grads_floor_only)
 
         # --- accumulate flat ------------------------------------------------
-        flat1 = jax.tree_util.tree_leaves(gscal1)
-        flat2 = jax.tree_util.tree_leaves(gscal2)
-        for k, (g1, g2) in enumerate(zip(flat1, flat2)):
-            acc[k] += g1 + g2
+        for k, g in enumerate(flat):
+            acc[k] += g
 
         @pl.when(step == P * S - 1)
         def _():
