@@ -260,10 +260,6 @@ def make_pallas_image_render_aa(
     bs = max(1, int(prepass_block))
     hb = (rows_out + bs - 1) // bs
     wb = (width + bs - 1) // bs
-    hwb = hb * wb
-    nb_pad = ((hwb + bm_coarse * LANES - 1) // (bm_coarse * LANES)) * (
-        bm_coarse * LANES
-    )
     n_pad = ((hw + bm_fine * LANES - 1) // (bm_fine * LANES)) * (bm_fine * LANES)
     tanf = math.tan(cfg.fovy / 2.0)
     aspect = width / height
@@ -304,17 +300,23 @@ def make_pallas_image_render_aa(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
         t0_ref, st_ref, *scratch
     ):
-        pid = pl.program_id(0)
-        base = pid * (bm_coarse * LANES)
-        lin = (
-            base
-            + jax.lax.broadcasted_iota(jnp.int32, (bm_coarse, LANES), 0) * LANES
+        # 2D tiling over the (hb x wb) block grid (same rationale as the
+        # fine kernel's two_d layout): tiles are localized image rectangles,
+        # so tiles whose rays all miss the scene bounding sphere exit the
+        # cone march in zero iterations instead of running to the slowest
+        # ray of a whole image row.
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        bi = (
+            ty * bm_coarse
+            + jax.lax.broadcasted_iota(jnp.int32, (bm_coarse, LANES), 0)
+        )
+        bj = (
+            tx * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (bm_coarse, LANES), 1)
         )
         # Block-center screen coords (pixel coordinate (b + 0.5) * bs covers
         # every pixel of a partial edge block conservatively).
-        bi = lin // wb
-        bj = lin - bi * wb
         x = 2.0 * ((bj.astype(jnp.float32) + 0.5) * bs) / width - 1.0
         y = 1.0 - 2.0 * ((bi.astype(jnp.float32) + 0.5) * bs + cam_ref[7]) / height
         dx, dy, dz = _view_dirs(x, y, cam_ref)
@@ -333,8 +335,10 @@ def make_pallas_image_render_aa(
             else None
         )
         t0, near = _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bnd)
-        # Padded lanes (block index >= Hb*Wb) are dead by construction.
-        valid = jnp.where(lin < hwb, 1.0, 0.0)
+        # Padded lanes (outside the hb x wb block grid) are dead.
+        valid = jnp.where(
+            jnp.logical_and(bi < hb, bj < wb), 1.0, 0.0
+        )
         t0_ref[:] = t0
         st_ref[:] = near * valid
 
@@ -381,7 +385,8 @@ def make_pallas_image_render_aa(
 
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch, emit_th=False
+        t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch, emit_th=False,
+        two_d=False,
     ):
         if emit_th:
             # Residual variant (ops.pallas_grad): also write each sample's
@@ -393,20 +398,43 @@ def make_pallas_image_render_aa(
             # innermost grid axis, so samples of one pixel tile run
             # back-to-back); reset per pixel tile at s == 0.
             *scratch, nx_ref, ny_ref, nz_ref, nv_ref = scratch
-        pid = pl.program_id(0)
-        s = pl.program_id(1)
-        base = pid * (bm_fine * LANES)
-        lin = (
-            base
-            + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 1)
-        )
+        if two_d:
+            # 2D image-block layout: this tile is a (bm_fine x LANES)-pixel
+            # RECTANGLE of the image, not bm_fine*LANES consecutive
+            # row-major pixels. Flat row-major tiles span ~whole image rows,
+            # so on real scenes EVERY tile contains some near-surface pixel
+            # and the `any_near` gate + tile-granular march early-exit never
+            # fire; localized rectangles make ~all background/floor tiles
+            # skip the march and the 4 normal taps entirely (measured 25%
+            # of 128x128 blocks near vs ~100% of flat tiles at 1080p).
+            ty = pl.program_id(0)
+            tx = pl.program_id(1)
+            s = pl.program_id(2)
+            ii = (
+                ty * bm_fine
+                + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 0)
+            )
+            jj = (
+                tx * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 1)
+            )
+            x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0
+            y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height
+        else:
+            pid = pl.program_id(0)
+            s = pl.program_id(1)
+            base = pid * (bm_fine * LANES)
+            lin = (
+                base
+                + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 1)
+            )
+            x, y = _pixel_xy(lin, cam_ref[7])
         # Sub-pixel offset for sample s (scalar; s = a*naa + b as in raygen).
         a = s // naa
         b = s - a * naa
         fa = (a.astype(jnp.float32) + 0.5) / naa - 0.5
         fb = (b.astype(jnp.float32) + 0.5) / naa - 0.5
-        x, y = _pixel_xy(lin, cam_ref[7])
         x = x + fa * (2.0 / width)
         y = y + fb * (2.0 / height)
         dx, dy, dz = _view_dirs(x, y, cam_ref)
@@ -569,27 +597,29 @@ def make_pallas_image_render_aa(
             jnp.asarray(cam_vec, jnp.float32),
         )
 
+    # Coarse 2D padded block-grid geometry.
+    hb_p = ((hb + bm_coarse - 1) // bm_coarse) * bm_coarse
+    wb_p = ((wb + LANES - 1) // LANES) * LANES
+
     def run_coarse(scene_args):
+        blk = pl.BlockSpec(
+            (bm_coarse, LANES),
+            lambda ty, tx, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
+        )
         coarse_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
-            grid=(nb_pad // (bm_coarse * LANES),),
+            grid=(hb_p // bm_coarse, wb_p // LANES),
             in_specs=[],
-            out_specs=[
-                pl.BlockSpec(
-                    (bm_coarse, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (bm_coarse, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
+            out_specs=[blk, blk],
             scratch_shapes=_scratch_shapes(spec, bm_coarse),
         )
         t0, status = pl.pallas_call(
             coarse_kernel,
             grid_spec=coarse_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((nb_pad // LANES, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((nb_pad // LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((hb_p, wb_p), jnp.float32),
+                jax.ShapeDtypeStruct((hb_p, wb_p), jnp.float32),
             ],
             interpret=interpret,
         )(*scene_args)
@@ -598,7 +628,7 @@ def make_pallas_image_render_aa(
         # broadcast-reshape (H*W*4 bytes — bandwidth-trivial). Also re-pads
         # to the fine kernel's grid when bs == 1 (identity repeat).
         def expand(v):
-            v = v.reshape(-1)[:hwb].reshape(hb, wb)
+            v = v[:hb, :wb]
             if bs > 1:
                 v = jnp.repeat(jnp.repeat(v, bs, axis=0), bs, axis=1)
             v = v[:rows_out, :width].reshape(-1)
@@ -648,7 +678,52 @@ def make_pallas_image_render_aa(
 
         return t0, status
 
+    # 2D-block layout geometry for the forward fine pass.
+    Hp = ((rows_out + bm_fine - 1) // bm_fine) * bm_fine
+    Wp = ((width + LANES - 1) // LANES) * LANES
+
+    def run_fine_2d(scene_args, t0, status):
+        """Forward fine pass over 2D image-rectangle tiles (see fine_kernel's
+        two_d branch). Same semantics as the flat layout; background/floor
+        tiles skip the march + normal taps."""
+        fine_scratch = list(_scratch_shapes(spec, bm_fine))
+        if share_normals:
+            fine_scratch += [
+                pltpu.VMEM((bm_fine, LANES), jnp.float32) for _ in range(4)
+            ]
+
+        def to2d(v):
+            v = v.reshape(-1)[:hw].reshape(rows_out, width)
+            # Padding is status=0 / t0=0: dead lanes, never marched.
+            return jnp.pad(v, ((0, Hp - rows_out), (0, Wp - width)))
+
+        blk = pl.BlockSpec(
+            (bm_fine, LANES),
+            lambda ty, tx, s, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
+        )
+        fine_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(Hp // bm_fine, Wp // LANES, S),
+            in_specs=[blk, blk],
+            out_specs=[blk, blk, blk],
+            scratch_shapes=fine_scratch,
+        )
+        r, g, b = pl.pallas_call(
+            functools.partial(fine_kernel, two_d=True),
+            grid_spec=fine_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(3)
+            ],
+            interpret=interpret,
+        )(*scene_args, to2d(t0), to2d(status))
+        return jnp.stack(
+            [v[:rows_out, :width] for v in (r, g, b)], axis=-1
+        )
+
     def run_fine(scene_args, t0, status, emit_th=False):
+        if not emit_th:
+            return run_fine_2d(scene_args, t0, status)
         fine_scratch = list(_scratch_shapes(spec, bm_fine))
         if share_normals:
             fine_scratch += [
