@@ -79,6 +79,16 @@ class RenderConfig:
     # default so step statistics match the reference's march semantics.
     bound_accel: bool = False
 
+    # Per-tile leaf culling (cone-prepass Pallas renderer + fused VJP): each
+    # image-rectangle kernel tile tests every leaf's inflated bounding sphere
+    # against the tile's view cone and skips culled leaves' distance blocks
+    # entirely (they contribute a constant FAR). Conservative and exact for
+    # hits/shading/gradients (see ops.culling); breaks the O(n_leaves) cost
+    # of every distance query, which is what makes many-primitive scenes
+    # fast. Off by default so small-scene step statistics and kernel
+    # signatures match round-1 behavior exactly.
+    leaf_cull: bool = False
+
     # Share the tetrahedron normal across the AA samples of a pixel
     # (cone-prepass renderer only): the first sample that hits computes the
     # 4-tap normal; later samples of the same pixel reuse it (diffuse is

@@ -1,0 +1,258 @@
+"""Per-tile leaf culling: conservative cone/sphere active-leaf masks.
+
+The two-phase device program (ops.tape) evaluates EVERY leaf of the scene at
+every distance query — the same O(n_commands)-per-query cost model as the
+reference's tape interpreter (reference src/ray_marching/ray_marching.wgsl:
+197-202, which loops over all commands per query). That is fine at 3 leaves
+and 25x off the throughput target at 64 (ARCHITECTURE.md, many-primitive
+scaling). This module removes the O(L) from the hot loop:
+
+- Every Pallas kernel instance processes a localized RECTANGLE of image
+  pixels (the 2D image-block tiling), so all of its rays live inside one
+  circular view cone (apex = camera, axis = tile-center direction,
+  half-angle = max angle to the tile's pixel-rect corners).
+- Each leaf gets a conservative bounding sphere, inflated by everything that
+  can extend its influence beyond its own surface:
+    + sum |op_param|     (smooth-blend bulge <= k/4, round radius, onion
+                          thickness — all bounded by their |param|),
+    + cfg.min_dist       (proximity hits trigger at d < min_dist),
+    + 8 * normal_eps     (shading taps sample at hit +- eps),
+    + a small absolute margin for f32 slop.
+- A leaf whose inflated sphere does not intersect the tile's cone is
+  *culled for that tile*: its distance is replaced by a constant FAR
+  (> max_dist, so a fully-culled tile escapes immediately).
+
+Why this is exact (not approximate) for hit/miss and gradients: for any
+query point p on a ray of the tile, a culled leaf satisfies
+d_leaf(p) >= sum_k + min_dist (+ taps margin). Lemma (checked in
+tests/test_culling.py): if a >= k + min_dist then for every combine op in
+the instruction set, combine(a, b) < min_dist  <=>  combine(FAR, b) <
+min_dist, and in that regime the two are EQUAL (the smooth-blend h-term
+vanishes because |a - b| >= k). So the culled field agrees with the true
+field everywhere below the min_dist level set along tile rays: identical
+hits, identical shading values at hit points, and *exactly zero* gradient
+w.r.t. culled leaves' parameters. Above that level the culled field only
+over-estimates distance — but it is still a valid SDF lower bound of the
+culled scene, whose surface intersects the tile cone identically, so sphere
+tracing it is safe (at worst the sample sequence differs, the same
+tolerance class as the cone prepass).
+
+Everything here is jnp on dynamic arrays (leaf_params, op_param, cam_vec),
+so runtime scene edits and camera motion update the masks with zero
+recompilation — masks are *data*, like the tape itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from . import opcodes as oc
+from .tape import TapeArrays, TapeSpec
+
+# Distance substituted for culled leaves. Must exceed max_dist so a tile in
+# which every leaf is culled escapes on its first march step, and must be
+# large enough that smooth blends against it vanish (FAR - d >> k always).
+FAR = 1.0e4
+
+# Safety margins (see module docstring).
+_ANGLE_MARGIN = 1e-4  # radians, absorbs f32 trig slop
+_RADIUS_MARGIN = 1e-3
+
+
+def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
+    """Conservative inflated bounding spheres for every leaf bank row.
+
+    Returns f32[n_leaves, 5] rows (cx, cy, cz, r_inflated, bounded) where
+    bounded=0 marks leaves with no finite bound (planes) — those are always
+    active. Same per-type radii as ops.pallas_march.compute_bound; rotation
+    never changes them (all formulas are rotation-invariant norms).
+    """
+    lp = jnp.asarray(arrays.leaf_params)
+    n = spec.n_leaves
+    types = np.zeros(n, np.int32)
+    for t, start, stop in spec.type_slices:
+        types[start:stop] = t
+    types_a = jnp.asarray(types)
+
+    r_sphere = lp[:, 7]
+    r_box = jnp.sqrt(jnp.sum(lp[:, 7:10] ** 2, axis=-1))
+    r_torus = lp[:, 7] + lp[:, 8]
+    r_cyl = jnp.sqrt(lp[:, 7] ** 2 + lp[:, 8] ** 2)
+    r_cap = lp[:, 7] + lp[:, 8]
+    r_cone = jnp.sqrt(jnp.maximum(lp[:, 8], lp[:, 9]) ** 2 + lp[:, 7] ** 2)
+    radii = jnp.select(
+        [
+            types_a == oc.LEAF_SPHERE,
+            types_a == oc.LEAF_BOX,
+            types_a == oc.LEAF_TORUS,
+            types_a == oc.LEAF_CYLINDER,
+            types_a == oc.LEAF_CAPSULE,
+            types_a == oc.LEAF_CONE,
+        ],
+        [r_sphere, r_box, r_torus, r_cyl, r_cap, r_cone],
+        default=r_sphere,
+    )
+    expand = (
+        jnp.sum(jnp.abs(jnp.asarray(arrays.op_param)))
+        + cfg.min_dist
+        + 8.0 * cfg.normal_eps
+        + _RADIUS_MARGIN
+    )
+    bounded = jnp.where(types_a == oc.LEAF_PLANE, 0.0, 1.0)
+    return jnp.concatenate(
+        [
+            lp[:, 4:7],
+            (jnp.abs(radii) + expand)[:, None],
+            bounded[:, None],
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+
+def _tile_axes_and_angles(
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    n_ty: int,
+    n_tx: int,
+    tile_h: float,
+    tile_w: float,
+    cam_vec,
+    extra_angle: float = 0.0,
+):
+    """Per-tile world-space cone (axis[T,3], cos/sin of half-angle[T]) for a
+    grid of n_ty x n_tx tiles of tile_h x tile_w PIXELS, the tile at (ty,tx)
+    covering pixel rows [ty*tile_h, (ty+1)*tile_h] (+ the band row offset
+    cam_vec[7]) and cols [tx*tile_w, (tx+1)*tile_w]. All AA sample rays of a
+    pixel lie strictly inside the pixel's unit square, so rect-corner rays
+    bound every ray of the tile; the half-angle is the exact max corner angle
+    plus `extra_angle` (for enclosing per-ray cones, e.g. the coarse
+    prepass's block cones) plus a small margin."""
+    tanf = math.tan(cfg.fovy / 2.0)
+    aspect = width / height
+    i0 = jnp.asarray(cam_vec, jnp.float32)[7]
+
+    ty = jnp.arange(n_ty, dtype=jnp.float32)[:, None]  # [n_ty,1]
+    tx = jnp.arange(n_tx, dtype=jnp.float32)[None, :]  # [1,n_tx]
+    rows_lo = ty * tile_h + i0
+    rows_hi = rows_lo + tile_h
+    cols_lo = tx * tile_w
+    cols_hi = cols_lo + tile_w
+
+    def view_dir(prow, pcol):
+        # prow/pcol broadcast to [n_ty, n_tx]; screen coords at pixel-coord
+        # boundaries (pixel j's center sits at coord j+0.5).
+        x = 2.0 * pcol / width - 1.0
+        y = 1.0 - 2.0 * prow / height
+        vx = x * (tanf * aspect)
+        vy = y * tanf
+        vz = jnp.full(jnp.broadcast_shapes(x.shape, y.shape), -1.0, jnp.float32)
+        x_b = jnp.broadcast_to(vx, vz.shape)
+        y_b = jnp.broadcast_to(vy, vz.shape)
+        inv = jax.lax.rsqrt(x_b * x_b + y_b * y_b + 1.0)
+        return x_b * inv, y_b * inv, vz * inv
+
+    cx, cy, cz = view_dir((rows_lo + rows_hi) * 0.5, (cols_lo + cols_hi) * 0.5)
+    cos_min = jnp.ones_like(cx)
+    for pr, pc in (
+        (rows_lo, cols_lo),
+        (rows_lo, cols_hi),
+        (rows_hi, cols_lo),
+        (rows_hi, cols_hi),
+    ):
+        kx, ky, kz = view_dir(pr, pc)
+        cos_min = jnp.minimum(cos_min, cx * kx + cy * ky + cz * kz)
+    theta = (
+        jnp.arccos(jnp.clip(cos_min, -1.0, 1.0)) + extra_angle + _ANGLE_MARGIN
+    )
+
+    # Rotate axes into world space by the camera quaternion.
+    cam = jnp.asarray(cam_vec, jnp.float32)
+    qw, qx, qy, qz = cam[3], cam[4], cam[5], cam[6]
+    tx_ = 2.0 * (qy * cz - qz * cy)
+    ty_ = 2.0 * (qz * cx - qx * cz)
+    tz_ = 2.0 * (qx * cy - qy * cx)
+    ax = cx + qw * tx_ + (qy * tz_ - qz * ty_)
+    ay = cy + qw * ty_ + (qz * tx_ - qx * tz_)
+    az = cz + qw * tz_ + (qx * ty_ - qy * tx_)
+    axes = jnp.stack([ax, ay, az], axis=-1).reshape(-1, 3)  # [T,3]
+    return axes, theta.reshape(-1)
+
+
+def pack_mask_bits(active):
+    """active bool[T, L] -> i32[T, ceil(L/32)] bitmask (leaf l = bit l%32 of
+    word l//32), bit-cast so bit 31 survives the int32 output."""
+    t, l = active.shape
+    words = (l + 31) // 32
+    pad = words * 32 - l
+    a = jnp.pad(active.astype(jnp.uint32), ((0, 0), (0, pad)))
+    a = a.reshape(t, words, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(a * weights, axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def tile_leaf_masks(
+    bounds,
+    cam_vec,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    n_ty: int,
+    n_tx: int,
+    tile_h: float,
+    tile_w: float,
+    extra_angle: float = 0.0,
+):
+    """Packed per-tile active-leaf bitmasks i32[n_ty*n_tx, ceil(L/32)].
+
+    A leaf is active for a tile iff its inflated bounding sphere intersects
+    the tile's forward view cone (or the leaf is unbounded). Standard
+    cone/sphere test: with v = center - apex, the sphere intersects iff
+    |v| <= r or angle(v, axis) <= theta + asin(min(r/|v|, 1)).
+    """
+    axes, theta = _tile_axes_and_angles(
+        cfg, width, height, n_ty, n_tx, tile_h, tile_w, cam_vec, extra_angle
+    )
+    cam = jnp.asarray(cam_vec, jnp.float32)
+    o = cam[0:3]
+    c = bounds[:, 0:3]  # [L,3]
+    r = bounds[:, 3]  # [L]
+    unbounded = bounds[:, 4] < 0.5
+
+    v = c[None, :, :] - o[None, None, :]  # [1,L,3]
+    dist = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-20)  # [1,L]
+    vdot = jnp.einsum("tld,tad->tl", jnp.broadcast_to(v, (axes.shape[0],) + v.shape[1:]),
+                      axes[:, None, :])  # [T,L]
+    beta = jnp.arccos(jnp.clip(vdot / dist, -1.0, 1.0))  # [T,L]
+    alpha = jnp.arcsin(jnp.clip(r[None, :] / dist, 0.0, 1.0))
+    inside = dist[0] <= r[None, :]
+    active = (beta <= theta[:, None] + alpha) | inside | unbounded[None, :]
+    return pack_mask_bits(active)
+
+
+def make_cull_reader(spec: TapeSpec, n_tx: int, enabled: bool):
+    """Returns cull(cull_ref, ty, tx) -> (row -> active scalar bool) | None.
+
+    `cull_ref` is the scalar-prefetched i32[T, W32] bitmask; (ty, tx) are
+    grid coordinates (tx may be 0 for 1D grids with n_tx=1). With
+    enabled=False returns None so kernels compile with zero culling code.
+    """
+    if not enabled:
+        return lambda cull_ref, ty, tx: None
+
+    def reader(cull_ref, ty, tx):
+        tid = ty * n_tx + tx
+
+        def active(row: int):
+            word = cull_ref[tid, row // 32]
+            return ((word >> (row % 32)) & 1) > 0
+
+        return active
+
+    return reader

@@ -155,20 +155,38 @@ def _combine_branches():
     ]
 
 
+def _culled_leaf(cull, row, calc, px):
+    """Leaf distance gated by the per-tile cull mask (ops.culling): culled
+    leaves return a constant FAR tile instead of running their VPU block.
+    The scalar branch costs ~nothing next to the skipped leaf math."""
+    if cull is None:
+        return calc()
+    from .culling import FAR
+
+    return jax.lax.cond(cull(row), calc, lambda: px * 0.0 + FAR)
+
+
 def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
     """Build scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
-    scratch, px, py, pz) -> d tile. `scratch` is (D_ref, stack_ref) for the
-    dynamic tape, or () for a static tape (pure register dataflow)."""
+    scratch, px, py, pz[, cull]) -> d tile. `scratch` is (D_ref, stack_ref)
+    for the dynamic tape, or () for a static tape (pure register dataflow).
+    `cull` (optional) is a per-tile active-leaf accessor row -> scalar bool
+    from ops.culling.make_cull_reader."""
     if spec.static_tape is not None:
         row_types = {r: (t, rot) for r, t, rot in leaf_rows}
         from .sdf import _apply_static_tape
 
-        def scene_eval_static(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz):
+        def scene_eval_static(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
             # Leaves evaluated lazily at their PUSH site; the whole combine
             # phase unrolls into straight-line VPU code, params from SMEM.
             def leaf_fn(row):
                 t, rot = row_types[row]
-                return _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
+                return _culled_leaf(
+                    cull,
+                    row,
+                    lambda: _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz),
+                    px,
+                )
 
             return _apply_static_tape(spec, opp_ref, leaf_fn, cfg.max_dist, px)
 
@@ -176,11 +194,18 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
 
     branches = _combine_branches()
 
-    def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz):
+    def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
         D_ref, stack_ref = scratch
         # Phase 1: unrolled static leaf bank -> D rows.
         for row, ltype, rotated in leaf_rows:
-            D_ref[row] = _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz)
+            D_ref[row] = _culled_leaf(
+                cull,
+                row,
+                lambda row=row, ltype=ltype, rotated=rotated: _leaf_distance_tile(
+                    lp_ref, row, ltype, rotated, px, py, pz
+                ),
+                px,
+            )
 
         # Phase 2: data-driven combine tape over D.
         # (init derived from px, not jnp.full: Mosaic rejects replicated-
@@ -228,14 +253,21 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
     A0 = oc.LEAF_ALBEDO
     AF = oc.LEAF_MAT_FLAG
 
-    def color_eval(lp_ref, opp_ref, px, py, pz):
+    def color_eval(lp_ref, opp_ref, px, py, pz, cull=None):
         def leaf_fn(row):
             t, rot = row_types[row]
-            d = _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
             flag = lp_ref[row, AF]
             r = flag * lp_ref[row, A0] + (1.0 - flag) * ax
             g = flag * lp_ref[row, A0 + 1] + (1.0 - flag) * ay
             b = flag * lp_ref[row, A0 + 2] + (1.0 - flag) * az
+            d = _culled_leaf(
+                cull,
+                row,
+                lambda: _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz),
+                px,
+            )
+            # Culled leaves keep their (scalar) albedo: FAR loses every
+            # distance selection, so the color can never win a shaded pixel.
             return d, (r, g, b)
 
         d, (r, g, b) = _apply_static_tape_color(

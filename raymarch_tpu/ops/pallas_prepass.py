@@ -55,6 +55,7 @@ from .pallas_march import (
     _scratch_shapes,
     compute_bound,
 )
+from .culling import leaf_bound_spheres, make_cull_reader, tile_leaf_masks
 
 BM_COARSE = 32
 BM_FINE = 128
@@ -295,10 +296,22 @@ def make_pallas_image_render_aa(
         dz = vz + qw * tz + (qx * ty - qy * tx)
         return dx, dy, dz
 
+    # Coarse 2D padded block-grid geometry (defined before the kernels: the
+    # culling masks are per grid tile).
+    hb_p = ((hb + bm_coarse - 1) // bm_coarse) * bm_coarse
+    wb_p = ((wb + LANES - 1) // LANES) * LANES
+    n_cty, n_ctx = hb_p // bm_coarse, wb_p // LANES
+    # 2D-block layout geometry for the forward fine pass.
+    Hp = ((rows_out + bm_fine - 1) // bm_fine) * bm_fine
+    Wp = ((width + LANES - 1) // LANES) * LANES
+    n_fty, n_ftx = Hp // bm_fine, Wp // LANES
+    cull_coarse = make_cull_reader(spec, n_ctx, cfg.leaf_cull)
+    cull_fine = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
+
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        t0_ref, st_ref, *scratch
+        cullc_ref, cullf_ref, t0_ref, st_ref, *scratch
     ):
         # 2D tiling over the (hb x wb) block grid (same rationale as the
         # fine kernel's two_d layout): tiles are localized image rectangles,
@@ -324,9 +337,12 @@ def make_pallas_image_render_aa(
         oy = jnp.full((bm_coarse, LANES), cam_ref[1], jnp.float32)
         oz = jnp.full((bm_coarse, LANES), cam_ref[2], jnp.float32)
 
+        cull = cull_coarse(cullc_ref, ty, tx)
+
         def scene(px, py, pz):
             return scene_eval(
-                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                px, py, pz, cull=cull,
             )
 
         bnd = (
@@ -347,8 +363,10 @@ def make_pallas_image_render_aa(
 
     def coarse_px_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        tin_ref, sin_ref, t0_ref, st_ref, *scratch
+        cullc_ref, cullf_ref, tin_ref, sin_ref, t0_ref, st_ref, *scratch
     ):
+        # (flat pixel layout: tiles span image rows, so no useful cone —
+        # culling stays off in this chained refinement pass)
         pid = pl.program_id(0)
         base = pid * (bm_coarse * LANES)
         lin = (
@@ -385,8 +403,8 @@ def make_pallas_image_render_aa(
 
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch, emit_th=False,
-        two_d=False,
+        cullc_ref, cullf_ref, t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch,
+        emit_th=False, two_d=False,
     ):
         if emit_th:
             # Residual variant (ops.pallas_grad): also write each sample's
@@ -420,7 +438,9 @@ def make_pallas_image_render_aa(
             )
             x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0
             y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height
+            cull = cull_fine(cullf_ref, ty, tx)
         else:
+            cull = None  # flat tiles span image rows: no useful cone
             pid = pl.program_id(0)
             s = pl.program_id(1)
             base = pid * (bm_fine * LANES)
@@ -444,7 +464,8 @@ def make_pallas_image_render_aa(
 
         def scene(px, py, pz):
             return scene_eval_f(
-                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                px, py, pz, cull=cull,
             )
 
         t0 = t0_ref[:]
@@ -532,7 +553,7 @@ def make_pallas_image_render_aa(
             # Per-hit albedo (material system; one extra scene eval). Force
             # tiles so both cond branches return matching shapes.
             if color_eval is not None:
-                _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz)
+                _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz, cull=cull)
                 mar = dx * 0.0 + mar
                 mag = dx * 0.0 + mag
                 mab = dx * 0.0 + mab
@@ -586,7 +607,29 @@ def make_pallas_image_render_aa(
             g_ref[:] = g_ref[:] * (1.0 / S)
             b_ref[:] = b_ref[:] * (1.0 / S)
 
+    def _cull_masks(arrays: TapeArrays, cam_vec):
+        """Per-tile packed active-leaf bitmasks for the coarse and fine
+        grids (ops.culling). Pure jnp on the dynamic scene arrays + camera:
+        scene edits and camera motion re-mask with zero recompilation."""
+        if not cfg.leaf_cull:
+            dummy = jnp.zeros((1, 1), jnp.int32)
+            return dummy, dummy
+        bounds = leaf_bound_spheres(spec, arrays, cfg)
+        # The coarse kernel marches one cone (half-angle omega) per BxB
+        # pixel block; its tile cone = corner angle + omega so it contains
+        # every block cone probed by the near test.
+        mask_c = tile_leaf_masks(
+            bounds, cam_vec, cfg, width, height, n_cty, n_ctx,
+            float(bm_coarse * bs), float(LANES * bs), extra_angle=omega,
+        )
+        mask_f = tile_leaf_masks(
+            bounds, cam_vec, cfg, width, height, n_fty, n_ftx,
+            float(bm_fine), float(LANES),
+        )
+        return mask_c, mask_f
+
     def _scene_args(arrays: TapeArrays, cam_vec):
+        mask_c, mask_f = _cull_masks(arrays, cam_vec)
         return (
             jnp.asarray(arrays.tape_ops),
             jnp.asarray(arrays.tape_arg),
@@ -595,11 +638,9 @@ def make_pallas_image_render_aa(
             jnp.asarray(arrays.leaf_params),
             compute_bound(spec, arrays),
             jnp.asarray(cam_vec, jnp.float32),
+            mask_c,
+            mask_f,
         )
-
-    # Coarse 2D padded block-grid geometry.
-    hb_p = ((hb + bm_coarse - 1) // bm_coarse) * bm_coarse
-    wb_p = ((wb + LANES - 1) // LANES) * LANES
 
     def run_coarse(scene_args):
         blk = pl.BlockSpec(
@@ -608,7 +649,7 @@ def make_pallas_image_render_aa(
             memory_space=pltpu.VMEM,
         )
         coarse_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(hb_p // bm_coarse, wb_p // LANES),
             in_specs=[],
             out_specs=[blk, blk],
@@ -642,7 +683,7 @@ def make_pallas_image_render_aa(
             # cone's stop distance instead of the camera).
             assert n_pad % (bm_coarse * LANES) == 0
             px_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=7,
+                num_scalar_prefetch=9,
                 grid=(n_pad // (bm_coarse * LANES),),
                 in_specs=[
                     pl.BlockSpec(
@@ -678,10 +719,6 @@ def make_pallas_image_render_aa(
 
         return t0, status
 
-    # 2D-block layout geometry for the forward fine pass.
-    Hp = ((rows_out + bm_fine - 1) // bm_fine) * bm_fine
-    Wp = ((width + LANES - 1) // LANES) * LANES
-
     def run_fine_2d(scene_args, t0, status):
         """Forward fine pass over 2D image-rectangle tiles (see fine_kernel's
         two_d branch). Same semantics as the flat layout; background/floor
@@ -703,7 +740,7 @@ def make_pallas_image_render_aa(
             memory_space=pltpu.VMEM,
         )
         fine_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(Hp // bm_fine, Wp // LANES, S),
             in_specs=[blk, blk],
             out_specs=[blk, blk, blk],
@@ -754,7 +791,7 @@ def make_pallas_image_render_aa(
             ]
             kernel = functools.partial(fine_kernel, emit_th=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(n_pad // (bm_fine * LANES), S),
             in_specs=[px_spec, px_spec],
             out_specs=out_specs,
