@@ -114,6 +114,52 @@ def main():
         file=sys.stderr,
     )
 
+    # --- secondary: interval prepass + relaxed stepping ---------------------
+    # (same conservative tolerance class; see ops.pallas_prepass docstrings)
+    cfg_ir = _dc.replace(cfg, relax=1.6)
+    rnd_ir = make_pallas_image_render_aa(
+        spec_s, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+    )
+    fast = jax.jit(lambda a, c: jnp.sum(rnd_ir(a, c)))
+    dt_ir, _ = timeit(fast, arrays_s, cam_vec)
+    print(
+        f"interval-prepass + relaxed render (static): {dt_ir*1e3:.2f} ms/frame, "
+        f"{n_rays/dt_ir/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: 64-primitive scene (BASELINE config-5 class) ------------
+    # Per-tile subtree culling + interval prepass + relaxed stepping breaks
+    # the O(n_leaves)-per-query cost (reference interprets the whole tape
+    # per query, wgsl:197-202).
+    rng64 = np.random.default_rng(7)
+    parts = []
+    for _ in range(64):
+        c = rng64.uniform(-3, 3, 3)
+        c[1] = rng64.uniform(-1.0, 1.5)
+        parts.append(
+            rm.sphere(center=tuple(c), radius=float(rng64.uniform(0.15, 0.5)))
+        )
+    scene64 = parts[0]
+    for p in parts[1:]:
+        scene64 = scene64 | p
+    spec64, arrays64 = rm.compile_scene(scene64, static=True)
+    cam64 = rm.Camera.looking_at(position=(0.0, 2.5, 9.0), target=(0.0, 0.0, 0.0))
+    cam64_vec = jnp.asarray(
+        np.concatenate([cam64.position, cam64.rotation, [0.0]]).astype(np.float32)
+    )
+    cfg64 = _dc.replace(cfg, relax=1.6, leaf_cull=True)
+    rnd64 = make_pallas_image_render_aa(
+        spec64, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+    )
+    f64 = jax.jit(lambda a, c: jnp.sum(rnd64(a, c)))
+    dt_64, _ = timeit(f64, arrays64, cam64_vec)
+    print(
+        f"64-primitive render (cull+intervals+relax): {dt_64*1e3:.2f} ms/frame, "
+        f"{n_rays/dt_64/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
     # --- secondary: plain fused kernel (strict per-AA-ray march) ------------
     from raymarch_tpu.ops.pallas_march import make_pallas_image_render
 

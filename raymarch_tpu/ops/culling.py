@@ -236,8 +236,44 @@ def tile_leaf_masks(
     return pack_mask_bits(active)
 
 
+# Max leaves per cull gate. The static-tape applier (ops.sdf) gates whole
+# SUBTREES of up to this many leaves with ONE scalar `lax.cond` each, not one
+# per leaf: scalar branches cost ~tens of ns each on the TPU scalar core, and
+# at 64 leaves x ~20 scene evals per tile a per-leaf cond chain costs more
+# than the leaf math it skips (measured: per-leaf gating 45 ms vs ungated
+# 115 ms at 64 leaves/1080p — branch overhead was most of the 45). Chain
+# rebalancing (ops.tape._rebalance_instrs) makes subtrees spatially coherent
+# so a gate's leaves cull together.
+GATE_MAX_LEAVES = 8
+
+
+class CullReader:
+    """Per-tile mask accessors bound to one kernel tile."""
+
+    def __init__(self, cull_ref, tid):
+        self._ref = cull_ref
+        self._tid = tid
+
+    def leaf(self, row: int):
+        word = self._ref[self._tid, row // 32]
+        return ((word >> (row % 32)) & 1) > 0
+
+    def any_active(self, rows):
+        """Scalar bool: is ANY of the given leaf rows active for this tile?
+        One AND+compare per touched mask word."""
+        by_word: dict[int, int] = {}
+        for r in rows:
+            by_word[r // 32] = by_word.get(r // 32, 0) | (1 << (r % 32))
+        acc = None
+        for w, m in sorted(by_word.items()):
+            mi = m if m < 2**31 else m - 2**32  # i32 bit pattern
+            t = (self._ref[self._tid, w] & mi) != 0
+            acc = t if acc is None else jnp.logical_or(acc, t)
+        return acc
+
+
 def make_cull_reader(spec: TapeSpec, n_tx: int, enabled: bool):
-    """Returns cull(cull_ref, ty, tx) -> (row -> active scalar bool) | None.
+    """Returns cull(cull_ref, ty, tx) -> CullReader | None.
 
     `cull_ref` is the scalar-prefetched i32[T, W32] bitmask; (ty, tx) are
     grid coordinates (tx may be 0 for 1D grids with n_tx=1). With
@@ -247,12 +283,6 @@ def make_cull_reader(spec: TapeSpec, n_tx: int, enabled: bool):
         return lambda cull_ref, ty, tx: None
 
     def reader(cull_ref, ty, tx):
-        tid = ty * n_tx + tx
-
-        def active(row: int):
-            word = cull_ref[tid, row // 32]
-            return ((word >> (row % 32)) & 1) > 0
-
-        return active
+        return CullReader(cull_ref, ty * n_tx + tx)
 
     return reader

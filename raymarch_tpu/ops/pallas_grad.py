@@ -121,9 +121,11 @@ def make_fused_render_vjp(
     naa = cfg.aa_samples
     S = naa * naa
     rows_out = band_rows if band_rows is not None else height
-    hw = rows_out * width
-    n_pad = ((hw + bm * LANES - 1) // (bm * LANES)) * (bm * LANES)
-    P = n_pad // (bm * LANES)
+    # 2D image-block geometry — must mirror the forward fine pass
+    # (ops.pallas_prepass), whose residual planes this kernel streams back.
+    Hp = ((rows_out + bm - 1) // bm) * bm
+    Wp = ((width + LANES - 1) // LANES) * LANES
+    n_ty, n_tx = Hp // bm, Wp // LANES
     tanf = math.tan(cfg.fovy / 2.0)
     aspect = width / height
     lx_, ly_, lz_ = cfg.light_position
@@ -188,9 +190,16 @@ def make_fused_render_vjp(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref,
         tm_ref, hm_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
     ):
-        i = pl.program_id(0)
-        s = pl.program_id(1)
-        step = i * S + s
+        # 2D image-block layout, mirroring the forward fine kernel (see
+        # ops.pallas_prepass fine_kernel two_d): each invocation replays one
+        # (bm x LANES)-pixel RECTANGLE for one AA sample. Localized
+        # rectangles make the `grads_floor_only` skip actually fire —
+        # flat row-major tiles span whole image rows, so on real scenes
+        # every tile contained some hit and the skip was dead code.
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        s = pl.program_id(2)
+        step = (ty * n_tx + tx) * S + s
 
         @pl.when(step == 0)
         def _():
@@ -213,19 +222,13 @@ def make_fused_render_vjp(
                 cam_t,
             )
 
-        # --- primal: raygen + re-march from the prepass residuals ---------
-        base = i * (bm * LANES)
-        lin = (
-            base
-            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
-        )
+        # --- primal: raygen + shading replay from the prepass residuals ---
+        ii = ty * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0)
+        jj = tx * LANES + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
         a_ = s // naa
         b_ = s - a_ * naa
         fa = (a_.astype(jnp.float32) + 0.5) / naa - 0.5
         fb = (b_.astype(jnp.float32) + 0.5) / naa - 0.5
-        ii = lin // width
-        jj = lin - ii * width
         x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0 + fa * (2.0 / width)
         y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height + fb * (
             2.0 / height
@@ -364,27 +367,29 @@ def make_fused_render_vjp(
         for k, g in enumerate(flat):
             acc[k] += g
 
-        @pl.when(step == P * S - 1)
+        @pl.when(step == n_ty * n_tx * S - 1)
         def _():
             for k in range(NSCAL):
                 gout_ref[k] = acc[k]
 
     def _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img):
-        g = jnp.asarray(g_img, jnp.float32).reshape(hw, 3)
-        gpad = jnp.pad(g, ((0, n_pad - hw), (0, 0)))
-        gr = gpad[:, 0].reshape(n_pad // LANES, LANES)
-        gg = gpad[:, 1].reshape(n_pad // LANES, LANES)
-        gb = gpad[:, 2].reshape(n_pad // LANES, LANES)
+        g = jnp.asarray(g_img, jnp.float32).reshape(rows_out, width, 3)
+        gpad = jnp.pad(g, ((0, Hp - rows_out), (0, Wp - width), (0, 0)))
+        gr = gpad[:, :, 0]
+        gg = gpad[:, :, 1]
+        gb = gpad[:, :, 2]
 
         px_spec = pl.BlockSpec(
-            (bm, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            (bm, LANES), lambda ty, tx, s, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
         )
         th_spec = pl.BlockSpec(
-            (bm, LANES), lambda i, s, *_: (i * S + s, 0), memory_space=pltpu.VMEM
+            (bm, LANES), lambda ty, tx, s, *_: (ty * S + s, tx),
+            memory_space=pltpu.VMEM,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
-            grid=(P, S),
+            grid=(n_ty, n_tx, S),
             in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[pltpu.SMEM((NSCAL,), jnp.float32)],
@@ -432,13 +437,13 @@ def make_fused_render_vjp(
     @jax.custom_vjp
     def render_lpc(lp, opp, cam_vec):
         arrays = _arrays_from(lp, opp)
-        t0, status = fwd_render.coarse(arrays, cam_vec)
-        return fwd_render.fine(arrays, cam_vec, t0, status)
+        pre = fwd_render.coarse(arrays, cam_vec)
+        return fwd_render.fine(arrays, cam_vec, pre)
 
     def render_fwd(lp, opp, cam_vec):
         arrays = _arrays_from(lp, opp)
-        t0, status = fwd_render.coarse(arrays, cam_vec)
-        img, t_all, hit_all = fwd_render.fine_res(arrays, cam_vec, t0, status)
+        pre = fwd_render.coarse(arrays, cam_vec)
+        img, t_all, hit_all = fwd_render.fine_res(arrays, cam_vec, pre)
         return img, (lp, opp, cam_vec, t_all, hit_all)
 
     def render_bwd(res, g_img):

@@ -155,15 +155,36 @@ def _combine_branches():
     ]
 
 
-def _culled_leaf(cull, row, calc, px):
-    """Leaf distance gated by the per-tile cull mask (ops.culling): culled
-    leaves return a constant FAR tile instead of running their VPU block.
-    The scalar branch costs ~nothing next to the skipped leaf math."""
-    if cull is None:
-        return calc()
-    from .culling import FAR
+def _culled_leaf_bank(cull, leaf_rows, lp_ref, px, py, pz):
+    """Dynamic-tape phase 1 with culling: evaluate every leaf row into
+    {row: distance tile}, gated with one scalar `lax.cond` per group of
+    GATE_MAX_LEAVES consecutive rows (a group whose members are all culled
+    for this tile writes constant FAR tiles instead of running its VPU
+    blocks). The static-tape path gates SUBTREES instead (ops.sdf); the
+    data-driven combine tape has no subtree structure to exploit, so
+    row-range groups are the best available granularity here."""
+    from .culling import FAR, GATE_MAX_LEAVES
 
-    return jax.lax.cond(cull(row), calc, lambda: px * 0.0 + FAR)
+    groups: dict[int, list] = {}
+    for row, t, rot in sorted(leaf_rows, key=lambda r: r[0]):
+        groups.setdefault(row // GATE_MAX_LEAVES, []).append((row, t, rot))
+    tiles = {}
+    for _g, members in sorted(groups.items()):
+        rows = [r for r, _t, _rot in members]
+
+        def calc(members=members):
+            return tuple(
+                _leaf_distance_tile(lp_ref, r, t, rot, px, py, pz)
+                for r, t, rot in members
+            )
+
+        def far(members=members):
+            return tuple(px * 0.0 + FAR for _ in members)
+
+        vals = jax.lax.cond(cull.any_active(rows), calc, far)
+        for (r, _t, _rot), v in zip(members, vals):
+            tiles[r] = v
+    return tiles
 
 
 def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
@@ -179,16 +200,14 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
         def scene_eval_static(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
             # Leaves evaluated lazily at their PUSH site; the whole combine
             # phase unrolls into straight-line VPU code, params from SMEM.
+            # `cull` gates whole subtrees inside the applier (ops.sdf).
             def leaf_fn(row):
                 t, rot = row_types[row]
-                return _culled_leaf(
-                    cull,
-                    row,
-                    lambda: _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz),
-                    px,
-                )
+                return _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
 
-            return _apply_static_tape(spec, opp_ref, leaf_fn, cfg.max_dist, px)
+            return _apply_static_tape(
+                spec, opp_ref, leaf_fn, cfg.max_dist, px, cull=cull
+            )
 
         return scene_eval_static
 
@@ -197,15 +216,15 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
     def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
         D_ref, stack_ref = scratch
         # Phase 1: unrolled static leaf bank -> D rows.
-        for row, ltype, rotated in leaf_rows:
-            D_ref[row] = _culled_leaf(
-                cull,
-                row,
-                lambda row=row, ltype=ltype, rotated=rotated: _leaf_distance_tile(
+        if cull is None:
+            for row, ltype, rotated in leaf_rows:
+                D_ref[row] = _leaf_distance_tile(
                     lp_ref, row, ltype, rotated, px, py, pz
-                ),
-                px,
-            )
+                )
+        else:
+            tiles = _culled_leaf_bank(cull, leaf_rows, lp_ref, px, py, pz)
+            for row, _t, _rot in leaf_rows:
+                D_ref[row] = tiles[row]
 
         # Phase 2: data-driven combine tape over D.
         # (init derived from px, not jnp.full: Mosaic rejects replicated-
@@ -260,18 +279,11 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
             r = flag * lp_ref[row, A0] + (1.0 - flag) * ax
             g = flag * lp_ref[row, A0 + 1] + (1.0 - flag) * ay
             b = flag * lp_ref[row, A0 + 2] + (1.0 - flag) * az
-            d = _culled_leaf(
-                cull,
-                row,
-                lambda: _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz),
-                px,
-            )
-            # Culled leaves keep their (scalar) albedo: FAR loses every
-            # distance selection, so the color can never win a shaded pixel.
+            d = _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
             return d, (r, g, b)
 
         d, (r, g, b) = _apply_static_tape_color(
-            spec, opp_ref, leaf_fn, cfg.max_dist, px, (ax, ay, az)
+            spec, opp_ref, leaf_fn, cfg.max_dist, px, (ax, ay, az), cull=cull
         )
         return d, r, g, b
 

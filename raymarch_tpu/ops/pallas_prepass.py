@@ -175,10 +175,247 @@ def _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bound,
     return t, near
 
 
-def _fine_march_tile(scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg):
-    """Plain sphere tracing from per-ray start t0 (reference march semantics,
-    wgsl:87-115) -> (t, hit). Dead lanes (live0=0) never evaluate."""
+_INF = 3.0e38
+
+
+def _cone_interval_march_tile(
+    scene, ox, oy, oz, dx, dy, dz, cfg, omega, bound, ni
+):
+    """Cone-march one tile of cone-center rays through the WHOLE scene,
+    recording up to `ni` near-intervals [s_j, e_j] per ray.
+
+    Extension of `_cone_march_tile`: instead of stopping at the first
+    near point, the center ray keeps going — plain sphere steps while
+    inside a near zone (d >= min_dist there, else the center itself hit),
+    cone steps `(d - omega*t)/(1+omega)` outside — until it hits, escapes,
+    or overflows the interval budget. The cone-tracing invariant (no
+    sub-ray of the cone crosses a surface while d_center >= min_dist +
+    omega*t; see module docstring) therefore holds across every recorded
+    FAR gap, so fine AA rays may sphere-trace interval j and then JUMP
+    straight to s_{j+1} — the 16x-per-pixel graze/escape walk collapses
+    into this one center-ray scan.
+
+    Conservative fallbacks (e_j = +inf => fine rays march plainly from s_j,
+    exactly the legacy behavior): center-ray hit inside zone j; interval
+    budget overflow; iteration budget exhausted while a zone is open.
+
+    Returns (starts, ends): two lists of `ni` tiles; s_j = +inf marks "no
+    such interval" (a ray with s_0 = +inf never marches at all).
+    """
     zero = dx * 0.0
+    t_init = zero
+    live_init = zero + 1.0
+    t_cap = zero + _INF
+    if bound is not None:
+        live_init, t_init, t_cap = _bound_clip(
+            bound, ox, oy, oz, dx, dy, dz, live_init, t_init, t_cap, cfg
+        )
+    inv1w = 1.0 / (1.0 + omega)
+
+    def cond(state):
+        k, _t, live, _near, _idx, _s, _e = state
+        return jnp.logical_and(k < cfg.max_iter * 2, jnp.max(live) > 0.0)
+
+    def step(state):
+        k, t, live, was_near, idx, starts, ends = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        d = scene(px, py, pz)
+        slack = d - omega * t
+        near = jnp.where(slack < cfg.min_dist, live, 0.0)
+
+        # Center-ray hit inside a zone: zone stays open (e = +inf fallback),
+        # scanning done.
+        hit_c = jnp.where(d < cfg.min_dist, near, 0.0)
+        # Escape: past max_dist or the bound exit. (d > max_dist implies
+        # not-near; t > t_cap can close an open zone at t.)
+        esc = jnp.where(jnp.logical_or(d > cfg.max_dist, t > t_cap), live, 0.0)
+        esc = esc - esc * hit_c
+
+        opening = near * (1.0 - was_near)
+        closing = jnp.where(was_near > 0.0, (1.0 - near) + esc, 0.0)
+        closing = jnp.minimum(closing, 1.0) * live
+        overflow = jnp.where(idx > ni - 0.5, opening, 0.0)
+        opening = opening - overflow
+
+        new_starts = []
+        new_ends = []
+        for j in range(ni):
+            sel_open = opening * jnp.where(jnp.abs(idx - j) < 0.5, 1.0, 0.0)
+            sel_close = closing * jnp.where(jnp.abs(idx - j) < 0.5, 1.0, 0.0)
+            sel_hit = hit_c * jnp.where(jnp.abs(idx - j) < 0.5, 1.0, 0.0)
+            s = jnp.where(sel_open > 0.0, t, starts[j])
+            e = jnp.where(sel_close > 0.0, t, ends[j])
+            # Open zone at center-hit: fallback e = +inf.
+            e = jnp.where(sel_hit > 0.0, _INF, e)
+            # Budget overflow while opening zone ni: previous zone's end
+            # reverts to +inf (fine rays march plainly from s_{ni-1} on).
+            if j == ni - 1:
+                e = jnp.where(overflow > 0.0, _INF, e)
+            new_starts.append(s)
+            new_ends.append(e)
+        idx2 = idx + closing
+
+        live2 = live - hit_c - esc - overflow * live
+        live2 = jnp.maximum(live2, 0.0)
+        # Plain sphere step inside a zone (d >= min_dist there), cone step
+        # outside; dead lanes hold.
+        stp = jnp.where(near > 0.0, d, slack * inv1w)
+        t2 = t + stp * live2
+        return (k + 1, t2, live2, near * live2, idx2, new_starts, new_ends)
+
+    state = (
+        jnp.int32(0),
+        t_init,
+        live_init,
+        zero,
+        zero,
+        [zero + _INF for _ in range(ni)],
+        [zero + _INF for _ in range(ni)],
+    )
+    state = jax.lax.while_loop(cond, step, state)
+    _k, _t, live_end, was_near, idx, starts, ends = state
+    # Iteration budget exhausted with a zone still open -> fallback e=+inf.
+    for j in range(ni):
+        sel = was_near * jnp.where(jnp.abs(idx - j) < 0.5, 1.0, 0.0)
+        ends[j] = jnp.where(sel > 0.0, _INF, ends[j])
+    return starts, ends
+
+
+def _fine_march_interval_tile(
+    scene, ox, oy, oz, dx, dy, dz, starts, ends, valid, t_cap, cfg
+):
+    """Sphere-trace a tile of AA rays through the near-intervals recorded by
+    `_cone_interval_march_tile`: plain (or relaxed, cfg.relax) tracing
+    inside interval j; when t steps past e_j, jump to s_{j+1} (safe by the
+    cone invariant — no crossing in the far gap); no next interval -> miss.
+    `valid` masks padded lanes. Returns (t, hit)."""
+    ni = len(starts)
+    zero = dx * 0.0
+    live0 = jnp.where(starts[0] < 9.0e37, valid, 0.0)
+    t0 = jnp.where(live0 > 0.0, starts[0], 0.0)
+    relax = cfg.relax if cfg.relax > 1.0 else 1.0
+
+    def cur_end(idx):
+        e = ends[ni - 1]
+        for j in range(ni - 2, -1, -1):
+            e = jnp.where(idx < j + 0.5, ends[j], e)
+        return e
+
+    def next_start(idx):
+        # start of interval idx+1; +inf when exhausted.
+        s = zero + _INF
+        for j in range(ni - 1, 0, -1):
+            s = jnp.where(idx < j - 0.5, starts[j], s)
+        return s
+
+    def cond(state):
+        k, _t, _idx, _pr, _sl, _om, live, _hit = state
+        return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
+
+    def step(state):
+        k, t, idx, prev_r, step_len, omega, live, hit = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        d = scene(px, py, pz)
+        act = jnp.where(k < cfg.max_iter, live, live * 0.0)
+        # Over-relaxation fallback (no-op when cfg.relax == 1).
+        fail = jnp.where(
+            jnp.logical_and(omega > 1.0, d + prev_r < step_len), act, 0.0
+        )
+        ok = act - fail
+        hit_now = jnp.where(d < cfg.min_dist, ok, 0.0)
+        escaped = jnp.where(
+            jnp.logical_or(d > cfg.max_dist, t > t_cap), ok, 0.0
+        )
+        escaped = escaped - escaped * hit_now
+        new_step = jnp.where(fail > 0.0, (1.0 - relax) * step_len, omega * d)
+        omega2 = jnp.where(fail > 0.0, 1.0, omega)
+        live2 = live - hit_now - escaped
+        t2 = t + new_step * live2
+        # Interval jump: stepped past the current end -> hop to the next
+        # start (or miss if there is none). Relaxation restarts clean at the
+        # hop (step continuity is meaningless across the gap).
+        e = cur_end(idx)
+        crossed = jnp.where(t2 > e, live2, 0.0)
+        ns = next_start(idx)
+        no_more = jnp.where(ns > 9.0e37, crossed, 0.0)
+        live3 = live2 - no_more
+        jump = crossed - no_more
+        t3 = jnp.where(jump > 0.0, jnp.maximum(t2, ns), t2)
+        idx2 = idx + jump
+        omega3 = jnp.where(jump > 0.0, zero + relax, omega2)
+        step3 = jnp.where(jump > 0.0, 0.0, new_step)
+        prev3 = jnp.where(jump > 0.0, 0.0, d)
+        return (k + 1, t3, idx2, prev3, step3, omega3, live3, hit + hit_now)
+
+    K = max(1, int(cfg.exit_check_every))
+    if K == 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, K, lambda _, st: step(st), state)
+
+    state = (
+        jnp.int32(0), t0, zero, zero, zero, zero + relax, live0, zero,
+    )
+    _k, t, _idx, _pr, _sl, _om, _live, hit = jax.lax.while_loop(
+        cond, body, state
+    )
+    return t, hit
+
+
+def _fine_march_tile(scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg):
+    """Sphere tracing from per-ray start t0 (reference march semantics,
+    wgsl:87-115) -> (t, hit). Dead lanes (live0=0) never evaluate.
+
+    With cfg.relax > 1: over-relaxed stepping (Keinert et al. 2014) with the
+    same per-ray fallback as ops.pallas_march._march_tile — step omega*d; if
+    consecutive safe spheres stop overlapping (d + d_prev < step) the
+    relaxed step overshot, so step back and drop that ray to omega=1. Hits
+    are only detected at non-overshot samples, so results stay exact sphere
+    tracing (modulo grazing sample-sequence sensitivity). This matters most
+    HERE: the fine kernel runs per AA sample and its tile-synchronous while
+    loop is bounded by the worst (most-grazing) lane of a 16K-pixel tile."""
+    zero = dx * 0.0
+
+    if cfg.relax > 1.0:
+
+        def cond_r(state):
+            k, _, _, _, _, live, _ = state
+            return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
+
+        def body_r(state):
+            k, t, prev_r, step_len, omega, live, hit = state
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+            d = scene(px, py, pz)
+            act = jnp.where(k < cfg.max_iter, live, live * 0.0)
+            fail = jnp.where(
+                jnp.logical_and(omega > 1.0, d + prev_r < step_len), act, 0.0
+            )
+            ok = act - fail
+            new_step = jnp.where(
+                fail > 0.0, (1.0 - cfg.relax) * step_len, omega * d
+            )
+            omega2 = jnp.where(fail > 0.0, 1.0, omega)
+            hit_now = jnp.where(d < cfg.min_dist, ok, 0.0)
+            escaped = jnp.where(
+                jnp.logical_or(d > cfg.max_dist, t > t_cap), ok, 0.0
+            )
+            escaped = escaped - escaped * hit_now
+            live2 = live - hit_now - escaped
+            t2 = t + new_step * live2
+            return (k + 1, t2, d, new_step, omega2, live2, hit + hit_now)
+
+        state = (
+            jnp.int32(0), t0, zero, zero, zero + cfg.relax, live0, zero,
+        )
+        _, t, _, _, _, _, hit = jax.lax.while_loop(cond_r, body_r, state)
+        return t, hit
 
     def cond(state):
         k, _, live, _ = state
@@ -222,10 +459,20 @@ def make_pallas_image_render_aa(
     prepass_block: int = 4,
     band_rows: int | None = None,
     prepass_chain: bool = False,
+    n_intervals: int = 0,
+    _dbg_skip_taps: bool = False,
+    _dbg_skip_march: bool = False,
 ):
     """Fused forward renderer with the cone-tracing AA prepass:
     fn(arrays, cam_vec f32[8]=(pos3, quat4, row_offset)) -> image
     f32[band_rows or H, W, 3].
+
+    `n_intervals` > 0 switches the prepass to NEAR-INTERVAL recording
+    (_cone_interval_march_tile): the coarse ray scans the whole scene once,
+    and fine AA rays sphere-trace only inside the recorded intervals,
+    jumping across the far gaps. Collapses the per-sample graze/escape walk
+    (the fine-pass bottleneck: 16 AA samples re-walking the same terrain)
+    into one center-ray scan. 0 = legacy first-near prepass.
 
     `band_rows` renders a horizontal band of the full W x H image: the band
     starts at image row `cam_vec[7]` (a runtime value, so one compiled kernel
@@ -242,6 +489,11 @@ def make_pallas_image_render_aa(
     (hits agree within the min_dist tolerance; see module docstring for the
     conservative-cone argument); AA samples share the coarse march.
     """
+    NI = max(0, int(n_intervals))
+    if NI and prepass_chain:
+        raise ValueError("prepass_chain is a legacy-prepass feature")
+    # Prepass output planes: legacy (t0, status) or NI (start, end) pairs.
+    n_pre = 2 * NI if NI else 2
     bm_coarse = _auto_bm(spec, bm_coarse, BM_COARSE * 2)
     bm_fine = _auto_bm(spec, bm_fine, BM_FINE)
     leaf_rows = _leaf_static_rows(spec)
@@ -311,8 +563,10 @@ def make_pallas_image_render_aa(
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, t0_ref, st_ref, *scratch
+        cullc_ref, cullf_ref, *rest
     ):
+        out_refs = rest[:n_pre]
+        scratch = rest[n_pre:]
         # 2D tiling over the (hb x wb) block grid (same rationale as the
         # fine kernel's two_d layout): tiles are localized image rectangles,
         # so tiles whose rays all miss the scene bounding sphere exit the
@@ -350,13 +604,24 @@ def make_pallas_image_render_aa(
             if cfg.bound_accel
             else None
         )
-        t0, near = _cone_march_tile(scene, ox, oy, oz, dx, dy, dz, cfg, omega, bnd)
         # Padded lanes (outside the hb x wb block grid) are dead.
         valid = jnp.where(
             jnp.logical_and(bi < hb, bj < wb), 1.0, 0.0
         )
-        t0_ref[:] = t0
-        st_ref[:] = near * valid
+        if NI:
+            starts, ends = _cone_interval_march_tile(
+                scene, ox, oy, oz, dx, dy, dz, cfg, omega, bnd, NI
+            )
+            for j in range(NI):
+                # Invalid (padded) lanes: no intervals -> never marched.
+                out_refs[j][:] = jnp.where(valid > 0.0, starts[j], _INF)
+                out_refs[NI + j][:] = ends[j]
+        else:
+            t0, near = _cone_march_tile(
+                scene, ox, oy, oz, dx, dy, dz, cfg, omega, bnd
+            )
+            out_refs[0][:] = t0
+            out_refs[1][:] = near * valid
 
     # --------- chained pixel-level coarse (refines the block level) ---------
     omega_px = cone_omega(cfg, width, height, 1)
@@ -403,9 +668,10 @@ def make_pallas_image_render_aa(
 
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, t0_ref, st_ref, r_ref, g_ref, b_ref, *scratch,
-        emit_th=False, two_d=False,
+        cullc_ref, cullf_ref, *rest, emit_th=False, two_d=False,
     ):
+        pre_refs = rest[:n_pre]
+        r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
         if emit_th:
             # Residual variant (ops.pallas_grad): also write each sample's
             # (t, hit) so the backward kernel replays shading without
@@ -468,8 +734,14 @@ def make_pallas_image_render_aa(
                 px, py, pz, cull=cull,
             )
 
-        t0 = t0_ref[:]
-        live0 = st_ref[:]
+        if NI:
+            starts = [pre_refs[j][:] for j in range(NI)]
+            ends = [pre_refs[NI + j][:] for j in range(NI)]
+            live0 = jnp.where(starts[0] < 9.0e37, dx * 0.0 + 1.0, 0.0)
+            t0 = jnp.where(live0 > 0.0, starts[0], 0.0)
+        else:
+            t0 = pre_refs[0][:]
+            live0 = pre_refs[1][:]
         t_cap = dx * 0.0 + 3.0e38
         if cfg.bound_accel:
             bnd = (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
@@ -497,6 +769,8 @@ def make_pallas_image_render_aa(
             nx = px * 0.0
             ny = nx
             nz = nx
+            if _dbg_skip_taps:
+                return nx + 1.0, ny, nz
             for kx, ky, kz in (
                 (1.0, -1.0, -1.0),
                 (-1.0, -1.0, 1.0),
@@ -510,9 +784,19 @@ def make_pallas_image_render_aa(
             return nx, ny, nz
 
         def do_surface():
-            t, hit = _fine_march_tile(
-                scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
-            )
+            # _dbg_* knobs: WRONG-IMAGE bisection aids for kernel-time
+            # attribution (see bench notes); never set in real rendering.
+            if _dbg_skip_march:
+                t, hit = t0, live0
+            elif NI:
+                t, hit = _fine_march_interval_tile(
+                    scene, ox, oy, oz, dx, dy, dz, starts, ends, live0,
+                    t_cap, cfg,
+                )
+            else:
+                t, hit = _fine_march_tile(
+                    scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
+                )
             px = ox + dx * t * hit
             py = oy + dy * t * hit
             pz = oz + dz * t * hit
@@ -652,32 +936,36 @@ def make_pallas_image_render_aa(
             num_scalar_prefetch=9,
             grid=(hb_p // bm_coarse, wb_p // LANES),
             in_specs=[],
-            out_specs=[blk, blk],
+            out_specs=[blk] * n_pre,
             scratch_shapes=_scratch_shapes(spec, bm_coarse),
         )
-        t0, status = pl.pallas_call(
+        pre = pl.pallas_call(
             coarse_kernel,
             grid_spec=coarse_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((hb_p, wb_p), jnp.float32),
-                jax.ShapeDtypeStruct((hb_p, wb_p), jnp.float32),
+                jax.ShapeDtypeStruct((hb_p, wb_p), jnp.float32)
+                for _ in range(n_pre)
             ],
             interpret=interpret,
         )(*scene_args)
 
-        # Expand block-level (t0, status) to pixel resolution: a plain XLA
-        # broadcast-reshape (H*W*4 bytes — bandwidth-trivial). Also re-pads
-        # to the fine kernel's grid when bs == 1 (identity repeat).
-        def expand(v):
+        # Expand block-level prepass planes to pixel resolution: a plain XLA
+        # broadcast-reshape (H*W*4 bytes each — bandwidth-trivial). Also
+        # re-pads to the fine kernel's grid when bs == 1 (identity repeat).
+        # Interval planes pad with +inf (= "no interval": dead lanes).
+        def expand(v, fill):
             v = v[:hb, :wb]
             if bs > 1:
                 v = jnp.repeat(jnp.repeat(v, bs, axis=0), bs, axis=1)
             v = v[:rows_out, :width].reshape(-1)
-            return jnp.pad(v, (0, n_pad - hw)).reshape(n_pad // LANES, LANES)
+            return jnp.pad(v, (0, n_pad - hw), constant_values=fill).reshape(
+                n_pad // LANES, LANES
+            )
 
-        t0, status = expand(t0), expand(status)
+        pre = [expand(v, _INF if NI else 0.0) for v in pre]
 
         if prepass_chain and bs > 1:
+            t0, status = pre
             # Level 2: refine the block-level start distances with a
             # per-pixel cone pass chained from them (rays start at the block
             # cone's stop distance instead of the camera).
@@ -716,13 +1004,17 @@ def make_pallas_image_render_aa(
                 ],
                 interpret=interpret,
             )(*scene_args, t0, status)
+            pre = [t0, status]
 
-        return t0, status
+        return pre
 
-    def run_fine_2d(scene_args, t0, status):
-        """Forward fine pass over 2D image-rectangle tiles (see fine_kernel's
-        two_d branch). Same semantics as the flat layout; background/floor
-        tiles skip the march + normal taps."""
+    def run_fine(scene_args, pre, emit_th=False):
+        """Fine pass over 2D image-rectangle tiles (see fine_kernel's two_d
+        branch): background/floor tiles skip the march + normal taps. With
+        emit_th, also returns each AA sample's (t, hit) residual planes in
+        the same 2D tile layout, blocks indexed (ty*S + s, tx) so the
+        backward kernel (ops.pallas_grad, same grid) streams them back with
+        the identical index map."""
         fine_scratch = list(_scratch_shapes(spec, bm_fine))
         if share_normals:
             fine_scratch += [
@@ -731,69 +1023,39 @@ def make_pallas_image_render_aa(
 
         def to2d(v):
             v = v.reshape(-1)[:hw].reshape(rows_out, width)
-            # Padding is status=0 / t0=0: dead lanes, never marched.
-            return jnp.pad(v, ((0, Hp - rows_out), (0, Wp - width)))
+            # Padding: legacy status=0 / t0=0, intervals +inf — dead lanes
+            # either way, never marched.
+            fill = _INF if NI else 0.0
+            return jnp.pad(
+                v, ((0, Hp - rows_out), (0, Wp - width)), constant_values=fill
+            )
 
         blk = pl.BlockSpec(
             (bm_fine, LANES),
             lambda ty, tx, s, *_: (ty, tx),
             memory_space=pltpu.VMEM,
         )
-        fine_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
-            grid=(Hp // bm_fine, Wp // LANES, S),
-            in_specs=[blk, blk],
-            out_specs=[blk, blk, blk],
-            scratch_shapes=fine_scratch,
-        )
-        r, g, b = pl.pallas_call(
-            functools.partial(fine_kernel, two_d=True),
-            grid_spec=fine_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(3)
-            ],
-            interpret=interpret,
-        )(*scene_args, to2d(t0), to2d(status))
-        return jnp.stack(
-            [v[:rows_out, :width] for v in (r, g, b)], axis=-1
-        )
-
-    def run_fine(scene_args, t0, status, emit_th=False):
-        if not emit_th:
-            return run_fine_2d(scene_args, t0, status)
-        fine_scratch = list(_scratch_shapes(spec, bm_fine))
-        if share_normals:
-            fine_scratch += [
-                pltpu.VMEM((bm_fine, LANES), jnp.float32) for _ in range(4)
-            ]
-        px_spec = pl.BlockSpec(
-            (bm_fine, LANES), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
-        )
-        out_specs = [px_spec, px_spec, px_spec]
+        out_specs = [blk, blk, blk]
         out_shape = [
-            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
-            for _ in range(3)
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(3)
         ]
-        kernel = fine_kernel
+        kernel = functools.partial(fine_kernel, two_d=True)
         if emit_th:
-            # Per-sample residual planes: S blocks per pixel tile, laid out
-            # block-major as i*S + s so the backward kernel (same grid)
-            # streams them back with the identical index map.
             th_spec = pl.BlockSpec(
                 (bm_fine, LANES),
-                lambda i, s, *_: (i * S + s, 0),
+                lambda ty, tx, s, *_: (ty * S + s, tx),
                 memory_space=pltpu.VMEM,
             )
             out_specs += [th_spec, th_spec]
             out_shape += [
-                jax.ShapeDtypeStruct((n_pad * S // LANES, LANES), jnp.float32)
+                jax.ShapeDtypeStruct((Hp * S, Wp), jnp.float32)
                 for _ in range(2)
             ]
-            kernel = functools.partial(fine_kernel, emit_th=True)
+            kernel = functools.partial(fine_kernel, emit_th=True, two_d=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
-            grid=(n_pad // (bm_fine * LANES), S),
-            in_specs=[px_spec, px_spec],
+            grid=(Hp // bm_fine, Wp // LANES, S),
+            in_specs=[blk] * n_pre,
             out_specs=out_specs,
             scratch_shapes=fine_scratch,
         )
@@ -802,30 +1064,30 @@ def make_pallas_image_render_aa(
             grid_spec=fine_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(*scene_args, t0, status)
+        )(*scene_args, *(to2d(v) for v in pre))
 
         img = jnp.stack(
-            [v.reshape(-1)[:hw] for v in (r, g, b)], axis=-1
-        ).reshape(rows_out, width, 3)
+            [v[:rows_out, :width] for v in (r, g, b)], axis=-1
+        )
         if emit_th:
             return img, th[0], th[1]
         return img
 
     def render(arrays: TapeArrays, cam_vec):
         scene_args = _scene_args(arrays, cam_vec)
-        t0, status = run_coarse(scene_args)
-        return run_fine(scene_args, t0, status)
+        return run_fine(scene_args, run_coarse(scene_args))
 
-    # Exposed for instrumentation / custom pipelines.
+    # Exposed for instrumentation / custom pipelines. `pre` is the prepass
+    # plane list: [t0, status] (legacy) or NI (start, end) pairs.
     render.coarse = lambda arrays, cam_vec: run_coarse(_scene_args(arrays, cam_vec))
-    render.fine = lambda arrays, cam_vec, t0, st: run_fine(
-        _scene_args(arrays, cam_vec), t0, st
+    render.fine = lambda arrays, cam_vec, pre: run_fine(
+        _scene_args(arrays, cam_vec), pre
     )
     # Residual-emitting fine pass for the fused VJP (ops.pallas_grad): also
     # returns each AA sample's (t, hit) so the backward kernel skips the
     # re-march (HBM for the residuals is far cheaper than recomputing the
     # march: ~8 f32/pixel vs ~8 full scene evals per sample).
-    render.fine_res = lambda arrays, cam_vec, t0, st: run_fine(
-        _scene_args(arrays, cam_vec), t0, st, emit_th=True
+    render.fine_res = lambda arrays, cam_vec, pre: run_fine(
+        _scene_args(arrays, cam_vec), pre, emit_th=True
     )
     return render

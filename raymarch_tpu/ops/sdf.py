@@ -171,43 +171,102 @@ def _single_leaf_distance(points, row_params, ltype, rotated):
     return _LEAF_FNS[ltype](local[None, :, :], row_params[None, :])[0]
 
 
-def _apply_static_tape(spec: TapeSpec, op_param, leaf_fn, max_dist, like):
+def _static_tree(spec: TapeSpec):
+    """Static tape (RPN) -> expression tree. Node = (cop_or_"leaf",
+    instr_index, payload, leaf_row_frozenset); payload is the leaf row for
+    leaves, else the child tuple. Returns None for the empty tape."""
+    from . import opcodes as oc_
+
+    stack: list = []
+    for i, (cop, arg, _slot) in enumerate(spec.static_tape):
+        if cop == oc_.COP_PUSH:
+            stack.append(("leaf", i, arg, frozenset((arg,))))
+        elif cop in (oc_.COP_ROUND, oc_.COP_ONION):
+            a = stack.pop()
+            stack.append((cop, i, (a,), a[3]))
+        else:
+            b = stack.pop()
+            a = stack.pop()
+            stack.append((cop, i, (a, b), a[3] | b[3]))
+    return stack[0] if stack else None
+
+
+def _combine_static(cop, a, b, kp):
+    from . import opcodes as oc_
+
+    if cop == oc_.COP_UNION:
+        return jnp.minimum(a, b)
+    if cop == oc_.COP_INTERSECTION:
+        return jnp.maximum(a, b)
+    if cop == oc_.COP_SUBTRACTION:
+        return jnp.maximum(a, -b)
+    if cop == oc_.COP_SMOOTH_UNION:
+        return smooth_min(a, b, kp)
+    if cop == oc_.COP_SMOOTH_INTERSECTION:
+        return smooth_max(a, b, kp)
+    if cop == oc_.COP_SMOOTH_SUBTRACTION:
+        return smooth_max(a, -b, kp)
+    raise ValueError(f"bad static op {cop}")
+
+
+def _apply_static_tape(spec: TapeSpec, op_param, leaf_fn, max_dist, like,
+                       cull=None):
     """Unrolled combine phase over the static tape. `leaf_fn(row)` yields a
     leaf-distance vector/tile; `like` provides shape/dtype for the empty
     scene. Smooth params come from the dynamic `op_param` (indexed
-    statically), so param edits never recompile."""
+    statically), so param edits never recompile.
+
+    `cull` (a culling.CullReader, Pallas kernels only) gates subtrees behind
+    scalar branches, hierarchically: a gate fires at every subtree of
+    <= GATE_MAX_LEAVES leaves, and re-fires at strictly smaller subtrees
+    inside an active gate (a BVH walk in branch space — an all-culled tile
+    costs ceil(L/GATE_MAX) branches; an active path narrows to the truly
+    active leaves with ~log extra branches instead of evaluating the whole
+    gated group). A fully-culled subtree folds to a constant FAR tile —
+    exact, see ops.culling's lemma (FAR stays in the culled regime through
+    any combine); subtrees with an active leaf evaluate true leaf values."""
     from . import opcodes as oc_
 
-    stack = []
-    for k, (cop, arg, _slot) in enumerate(spec.static_tape):
-        if cop == oc_.COP_PUSH:
-            stack.append(leaf_fn(arg))
-            continue
-        kp = op_param[k]
-        if cop in (oc_.COP_ROUND, oc_.COP_ONION):
-            a = stack.pop()
-            stack.append(a - kp if cop == oc_.COP_ROUND else jnp.abs(a) - kp)
-            continue
-        b = stack.pop()
-        a = stack.pop()
-        if cop == oc_.COP_UNION:
-            v = jnp.minimum(a, b)
-        elif cop == oc_.COP_INTERSECTION:
-            v = jnp.maximum(a, b)
-        elif cop == oc_.COP_SUBTRACTION:
-            v = jnp.maximum(a, -b)
-        elif cop == oc_.COP_SMOOTH_UNION:
-            v = smooth_min(a, b, kp)
-        elif cop == oc_.COP_SMOOTH_INTERSECTION:
-            v = smooth_max(a, b, kp)
-        elif cop == oc_.COP_SMOOTH_SUBTRACTION:
-            v = smooth_max(a, -b, kp)
-        else:
-            raise ValueError(f"bad static op {cop}")
-        stack.append(v)
-    if not stack:
+    root = _static_tree(spec)
+    if root is None:
         return like * 0.0 + max_dist
-    return stack[0]
+
+    def eval_node(node, gate_bound):
+        kind, i, payload, rows = node
+        if (
+            cull is not None
+            and 2 <= len(rows) <= _gate_max()
+            and len(rows) < gate_bound
+        ):
+            return jax.lax.cond(
+                cull.any_active(rows),
+                lambda: eval_node(node, len(rows)),
+                lambda: like * 0.0 + _far(),
+            )
+        if kind == "leaf":
+            return leaf_fn(payload)
+        kp = op_param[i]
+        if kind == oc_.COP_ROUND:
+            return eval_node(payload[0], gate_bound) - kp
+        if kind == oc_.COP_ONION:
+            return jnp.abs(eval_node(payload[0], gate_bound)) - kp
+        a = eval_node(payload[0], gate_bound)
+        b = eval_node(payload[1], gate_bound)
+        return _combine_static(kind, a, b, kp)
+
+    return eval_node(root, 1 << 30)
+
+
+def _gate_max():
+    from .culling import GATE_MAX_LEAVES
+
+    return GATE_MAX_LEAVES
+
+
+def _far():
+    from .culling import FAR
+
+    return FAR
 
 
 def _mat_weight_smooth(da, db, k):
@@ -218,53 +277,73 @@ def _mat_weight_smooth(da, db, k):
 
 
 def _apply_static_tape_color(spec: TapeSpec, op_param, leaf_fn, max_dist, like,
-                             default_rgb):
+                             default_rgb, cull=None):
     """Unrolled combine phase propagating (distance, albedo). `leaf_fn(row)`
     yields (d, (r, g, b)) with r/g/b broadcastable against d (scalars are
     fine); works on both jnp arrays and Pallas tiles. Selection/blend rules
-    mirror oracle.eval_tape_color exactly."""
+    mirror oracle.eval_tape_color exactly. `cull` gates subtrees as in
+    _apply_static_tape; a culled subtree keeps default_rgb (FAR loses every
+    selection, so its color can never win a shaded pixel)."""
     from . import opcodes as oc_
 
     def sel(w, ca, cb):
         return tuple(w * x + (1.0 - w) * y for x, y in zip(ca, cb))
 
-    stack = []
-    for k, (cop, arg, _slot) in enumerate(spec.static_tape):
-        if cop == oc_.COP_PUSH:
-            stack.append(leaf_fn(arg))
-            continue
-        kp = op_param[k]
-        if cop in (oc_.COP_ROUND, oc_.COP_ONION):
-            a, ca = stack.pop()
-            d = a - kp if cop == oc_.COP_ROUND else jnp.abs(a) - kp
-            stack.append((d, ca))
-            continue
-        (b, cb) = stack.pop()
-        (a, ca) = stack.pop()
-        if cop == oc_.COP_UNION:
+    root = _static_tree(spec)
+    if root is None:
+        return like * 0.0 + max_dist, default_rgb
+
+    def eval_node(node, gate_bound):
+        kind, i, payload, rows = node
+        if (
+            cull is not None
+            and 2 <= len(rows) <= _gate_max()
+            and len(rows) < gate_bound
+        ):
+
+            def run():
+                d, (r, g, b) = eval_node(node, len(rows))
+                z = d * 0.0  # force tile shapes so both branches match
+                return d, (z + r, z + g, z + b)
+
+            def culled():
+                z = like * 0.0
+                dr, dg, db = default_rgb
+                return z + _far(), (z + dr, z + dg, z + db)
+
+            return jax.lax.cond(cull.any_active(rows), run, culled)
+        if kind == "leaf":
+            return leaf_fn(payload)
+        kp = op_param[i]
+        if kind in (oc_.COP_ROUND, oc_.COP_ONION):
+            a, ca = eval_node(payload[0], gate_bound)
+            d = a - kp if kind == oc_.COP_ROUND else jnp.abs(a) - kp
+            return d, ca
+        a, ca = eval_node(payload[0], gate_bound)
+        b, cb = eval_node(payload[1], gate_bound)
+        if kind == oc_.COP_UNION:
             v = jnp.minimum(a, b)
             w = jnp.where(a <= b, 1.0, 0.0)
-        elif cop == oc_.COP_INTERSECTION:
+        elif kind == oc_.COP_INTERSECTION:
             v = jnp.maximum(a, b)
             w = jnp.where(a >= b, 1.0, 0.0)
-        elif cop == oc_.COP_SUBTRACTION:
+        elif kind == oc_.COP_SUBTRACTION:
             v = jnp.maximum(a, -b)
             w = jnp.where(a >= -b, 1.0, 0.0)
-        elif cop == oc_.COP_SMOOTH_UNION:
+        elif kind == oc_.COP_SMOOTH_UNION:
             v = smooth_min(a, b, kp)
             w = _mat_weight_smooth(a, b, kp)
-        elif cop == oc_.COP_SMOOTH_INTERSECTION:
+        elif kind == oc_.COP_SMOOTH_INTERSECTION:
             v = smooth_max(a, b, kp)
             w = _mat_weight_smooth(b, a, kp)
-        elif cop == oc_.COP_SMOOTH_SUBTRACTION:
+        elif kind == oc_.COP_SMOOTH_SUBTRACTION:
             v = smooth_max(a, -b, kp)
             w = _mat_weight_smooth(-b, a, kp)
         else:
-            raise ValueError(f"bad static op {cop}")
-        stack.append((v, sel(w, ca, cb)))
-    if not stack:
-        return like * 0.0 + max_dist, default_rgb
-    return stack[0]
+            raise ValueError(f"bad static op {kind}")
+        return v, sel(w, ca, cb)
+
+    return eval_node(root, 1 << 30)
 
 
 def make_scene_color_fn(spec: TapeSpec, cfg: RenderConfig):

@@ -377,6 +377,102 @@ def _decode_wire(tape: np.ndarray):
     return leaves, instrs
 
 
+def _morton3(xyz: np.ndarray) -> np.ndarray:
+    """Interleaved 10-bit-per-axis Morton codes for points xyz[N,3],
+    quantized over their own bounding box (spatial sort key)."""
+    lo = xyz.min(axis=0)
+    span = np.maximum(xyz.max(axis=0) - lo, 1e-9)
+    q = np.clip(((xyz - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+    codes = np.zeros(len(xyz), dtype=np.uint64)
+    for bit in range(10):
+        for axis in range(3):
+            codes |= ((q[:, axis] >> bit) & 1) << np.uint64(3 * bit + axis)
+    return codes
+
+
+def _rebalance_instrs(instrs, leaves):
+    """Rebalance maximal chains of the associative hard ops (UNION,
+    INTERSECTION) into balanced binary trees with operands in Morton order.
+
+    Two wins, both exact (min/max are associative and commutative):
+    - the combine dependency chain shrinks from O(n) to O(log n), and the
+      required stack depth to ceil(log2 n) + 1;
+    - operands that are spatially adjacent become TREE-adjacent, so the
+      per-tile subtree cull gates (ops.sdf._apply_static_tape `cull`) skip
+      coherent clusters of leaves with one scalar branch each.
+
+    Smooth blends and subtraction are order-dependent and pass through
+    untouched (their children still rebalance internally).
+    """
+    if not instrs:
+        return instrs
+    centers = np.array([row[4:7] for _t, _rot, row in leaves], dtype=np.float64)
+    codes = (
+        _morton3(centers) if len(centers) else np.zeros(0, dtype=np.uint64)
+    )
+
+    # RPN -> tree. Node = ("leaf", ordinal) | (cop, k, child...) tuples.
+    stack: list = []
+    try:
+        for cop, arg, k in instrs:
+            if cop == oc.COP_PUSH:
+                stack.append(("leaf", arg))
+            elif cop in (oc.COP_ROUND, oc.COP_ONION):
+                stack.append((cop, k, stack.pop()))
+            else:
+                b = stack.pop()
+                a = stack.pop()
+                stack.append((cop, k, a, b))
+    except IndexError:
+        raise ValueError("malformed tape: operator on empty stack") from None
+    if len(stack) != 1:
+        raise ValueError(f"malformed tape: final stack size {len(stack)}")
+    root = stack[0]
+
+    def min_leaf_code(node):
+        if node[0] == "leaf":
+            return codes[node[1]]
+        return min(min_leaf_code(c) for c in node[2:])
+
+    def flatten_chain(node, cop):
+        if node[0] == cop:
+            return flatten_chain(node[2], cop) + flatten_chain(node[3], cop)
+        return [rebuild(node)]
+
+    def rebuild(node):
+        if node[0] == "leaf":
+            return node
+        if node[0] in (oc.COP_UNION, oc.COP_INTERSECTION):
+            ops = flatten_chain(node[2], node[0]) + flatten_chain(
+                node[3], node[0]
+            )
+            if len(ops) > 2:
+                ops.sort(key=min_leaf_code)
+                while len(ops) > 1:
+                    ops = [
+                        (node[0], 0.0, ops[i], ops[i + 1])
+                        if i + 1 < len(ops)
+                        else ops[i]
+                        for i in range(0, len(ops), 2)
+                    ]
+                return ops[0]
+            return (node[0], node[1], *ops)
+        return (node[0], node[1], *(rebuild(c) for c in node[2:]))
+
+    out: list[tuple[int, int, float]] = []
+
+    def emit(node):
+        if node[0] == "leaf":
+            out.append((oc.COP_PUSH, node[1], 0.0))
+            return
+        for c in node[2:]:
+            emit(c)
+        out.append((node[0], 0, node[1]))
+
+    emit(rebuild(root))
+    return out
+
+
 def compile_wire(
     tape: np.ndarray,
     *,
@@ -385,14 +481,21 @@ def compile_wire(
     min_instr_bucket: int = 8,
     stack_depth: Optional[int] = None,
     static: bool = False,
+    rebalance: bool = True,
 ) -> tuple[TapeSpec, TapeArrays]:
     """Lower a wire tape to the two-phase device program.
 
     This is the runtime-edit path: graph edit -> new wire tape -> new
     TapeArrays; as long as the resulting TapeSpec is unchanged (bucketed
     capacities), the jitted renderer is reused with zero recompilation.
+
+    `rebalance` (default) rewrites associative union/intersection chains as
+    Morton-ordered balanced trees (see _rebalance_instrs) — exact, and
+    required for effective subtree culling on many-primitive scenes.
     """
     leaves, instrs = _decode_wire(np.asarray(tape, dtype=np.uint32))
+    if rebalance:
+        instrs = _rebalance_instrs(instrs, leaves)
 
     # Group leaves by type (stable order within type), remember mapping.
     order = sorted(range(len(leaves)), key=lambda j: (leaves[j][0], j))

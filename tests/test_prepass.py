@@ -118,6 +118,55 @@ class TestPrepassRender:
         # Rows well below the horizon (near floor, steep incidence) agree.
         assert d[H // 2 + 4 :].mean() < 1e-3
 
+    @pytest.mark.parametrize("ni", [1, 2, 3])
+    def test_interval_prepass(self, static_compiled, ni):
+        # Near-interval prepass: the coarse ray scans the whole scene once;
+        # fine rays trace only inside recorded intervals and jump the far
+        # gaps. Same conservative-cone tolerance class as the legacy
+        # prepass.
+        spec, arrays = static_compiled
+        W, H = 65, 47
+        ref = _reference_image(spec, arrays, CFG, W, H)
+        rnd = make_pallas_image_render_aa(
+            spec, CFG, W, H, interpret=True, bm_coarse=8, bm_fine=8,
+            prepass_block=1, n_intervals=ni,
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        _assert_images_close(img, ref)
+
+    def test_interval_prepass_occluded_layers(self):
+        # A small sphere hidden close behind a large one: rays that graze
+        # the front sphere must still find the back sphere through the
+        # interval jumps (and rays missing everything must miss).
+        scene = (
+            rm.sphere(center=(0, 0, 0), radius=0.8)
+            | rm.sphere(center=(0.9, 0, -2.5), radius=0.6)
+            | rm.sphere(center=(-1.4, 0.3, -5.0), radius=0.7)
+        )
+        spec, arrays = rm.compile_scene(scene, static=True)
+        W, H = 64, 48
+        ref = _reference_image(spec, arrays, CFG, W, H)
+        rnd = make_pallas_image_render_aa(
+            spec, CFG, W, H, interpret=True, bm_coarse=8, bm_fine=8,
+            prepass_block=1, n_intervals=2,
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        _assert_images_close(img, ref)
+
+    def test_interval_prepass_block4_and_relax(self, static_compiled):
+        spec, arrays = static_compiled
+        W, H = 65, 47
+        ref = _reference_image(spec, arrays, CFG, W, H)
+        import dataclasses as dc
+
+        cfg = dc.replace(CFG, relax=1.6)
+        rnd = make_pallas_image_render_aa(
+            spec, cfg, W, H, interpret=True, bm_coarse=8, bm_fine=8,
+            prepass_block=4, n_intervals=2,
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        _assert_images_close(img, ref)
+
     def test_aa_shared_normals(self, static_compiled):
         # cfg.aa_shared_normals reuses the first hitting sample's 4-tap
         # normal for the pixel's other AA samples. Approximate by design:

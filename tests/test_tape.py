@@ -162,9 +162,9 @@ class TestDeviceProgram:
         scene = sphere()
         for i in range(1, 9):
             scene = scene | sphere(center=(float(i), 0, 0))
-        spec, arrays = compile_scene(scene)
+        spec, arrays = compile_scene(scene, rebalance=False)
         assert spec.stack_depth >= 2
-        # Left-leaning chain needs depth 2 only.
+        # Left-leaning chain needs depth 2 only (raw RPN lowering).
         assert arrays.out_slot[arrays.tape_ops != oc.COP_NOP].max() <= 1
 
     def test_right_leaning_needs_depth(self):
@@ -173,7 +173,25 @@ class TestDeviceProgram:
                 return sphere(center=(float(k), 0, 0))
             return sphere(center=(float(k), 0, 0)) | right_chain(k - 1)
 
-        spec, arrays = compile_scene(right_chain(6))
+        spec, arrays = compile_scene(right_chain(6), rebalance=False)
         real = arrays.tape_ops != oc.COP_NOP
         assert arrays.out_slot[real].max() >= 6 - 1
         assert spec.stack_depth >= 7
+
+    def test_rebalance_bounds_depth(self):
+        # Default lowering rebalances associative chains: a 64-operand
+        # right-leaning union chain needs only ~log2(64)+1 slots instead
+        # of 64 (and its combine dependency chain shrinks the same way).
+        def right_chain(k):
+            if k == 0:
+                return sphere(center=(float(k), 0, 0))
+            return sphere(center=(float(k), 0, 0)) | right_chain(k - 1)
+
+        spec, arrays = compile_scene(right_chain(63))
+        real = arrays.tape_ops != oc.COP_NOP
+        assert arrays.out_slot[real].max() <= 7
+        # Same leaf/instruction populations as the unbalanced lowering.
+        spec0, arrays0 = compile_scene(right_chain(63), rebalance=False)
+        assert spec.type_slices == spec0.type_slices
+        assert (arrays.tape_ops[real] == oc.COP_PUSH).sum() == 64
+        assert (arrays.tape_ops[real] == oc.COP_UNION).sum() == 63
