@@ -1,0 +1,352 @@
+"""Analytic-gradient oracle: exact pixel gradients of the CPU renderer.
+
+BASELINE's gradient bar is "pixel-gradients allclose (rtol 1e-4) vs a CPU
+reference evaluator". Finite differences cannot reach that bar (FD noise on
+a marched, branchy renderer is percent-level), so this module computes the
+oracle gradient ANALYTICALLY, in float64, with hand-derived partials:
+
+- `eval_tape_grads`: walks the wire tape like `oracle.eval_tape` but pushes
+  (value, d/dpos[3], d/dword[W]) triples, where W indexes every u32 word of
+  the tape — the gradient is taken w.r.t. every f32 parameter word in place
+  (opcode words keep zero columns). All partials are closed-form: sphere /
+  box / plane / torus leaves, hard and smooth booleans, round / onion.
+- `pixel_grads`: the full pixel gradient d(image)/d(param words), mirroring
+  the DEVICE differentiable renderer's exact discrete computation graph
+  (ops.march: implicit-function theorem at the converged hit with the
+  clamped denominator, gradients *through* the 4 tetrahedron tap positions,
+  normalization guards, ambient/hit/floor gating, sqrt-gamma epsilon, AA
+  mean). Where the device makes a non-smooth choice (hit mask, min/max
+  winner, diffuse-vs-ambient), the oracle makes the same choice from its
+  own float64 primal — so the comparison is exact wherever both sides agree
+  on the discrete structure (everywhere except measure-zero ties).
+
+Deliberately shares no code with the device path (ops/sdf.py, ops/march.py):
+the two implementations cross-check each other. Reference for the forward
+spec: src/ray_marching/ray_marching.wgsl:87-144 (march + normals) and 96-130
+(shading); the gradient layer is new (the reference is non-differentiable,
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from . import opcodes as oc
+
+_TAPS = np.array(
+    [[1, -1, -1], [-1, -1, 1], [-1, 1, -1], [1, 1, 1]], dtype=np.float64
+)
+
+
+def _norm(v, axis=-1, keepdims=False):
+    return np.sqrt(np.sum(v * v, axis=axis, keepdims=keepdims))
+
+
+class _Val:
+    """Stack entry: value[N], d/dpos[N,3], d/dwords[N,W]."""
+
+    __slots__ = ("d", "dp", "dw")
+
+    def __init__(self, d, dp, dw):
+        self.d = d
+        self.dp = dp
+        self.dw = dw
+
+
+def eval_tape_grads(
+    tape: np.ndarray, points: np.ndarray, cfg: RenderConfig = DEFAULT_CONFIG
+):
+    """Scene SDF + exact gradients at points[N,3] (float64).
+
+    Returns (d[N], dpos[N,3], dwords[N, len(tape)]): the distance, its
+    spatial gradient, and its gradient w.r.t. every tape word (zero for
+    opcode words). Raises on opcodes without closed-form partials here
+    (rotated primitives, cylinder/capsule/cone, materials with grads).
+    """
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    n = points.shape[0]
+    tape = np.asarray(tape, dtype=np.uint32)
+    W = len(tape)
+    if W == 0:
+        return (
+            np.full(n, cfg.max_dist),
+            np.zeros((n, 3)),
+            np.zeros((n, 0)),
+        )
+    f32 = tape.view(np.float32)
+
+    def leaf(d, dp, dw_pairs):
+        dw = np.zeros((n, W))
+        for w_idx, g in dw_pairs:
+            dw[:, w_idx] = g
+        return _Val(d, dp, dw)
+
+    stack: list[_Val] = []
+    i = 0
+    while i < W:
+        op = int(tape[i])
+        i += 1
+        npar = oc.WIRE_PARAM_COUNT[op]
+        par = f32[i : i + npar].astype(np.float64)
+        pw = list(range(i, i + npar))  # word index of each param
+        i += npar
+
+        if op == oc.OP_SPHERE:
+            q = points - par[0:3]
+            L = np.maximum(_norm(q), 1e-300)
+            u = q / L[:, None]
+            stack.append(
+                leaf(
+                    L - par[3],
+                    u,
+                    [(pw[j], -u[:, j]) for j in range(3)] + [(pw[3], -1.0)],
+                )
+            )
+        elif op == oc.OP_BOX:
+            c, h = par[0:3], par[3:6]
+            q = points - c
+            aq = np.abs(q) - h  # [N,3]
+            sgn = np.sign(q)
+            o = np.maximum(aq, 0.0)
+            Lo = _norm(o)
+            inside_mask = (Lo == 0.0).astype(np.float64)
+            # outside term: |max(aq,0)|; gradient o_j/Lo * [aq_j>0]
+            Lo_safe = np.maximum(Lo, 1e-300)
+            go = (o / Lo_safe[:, None]) * (aq > 0.0)
+            # inside term: min(max3(aq), 0); active iff all aq_j <= 0
+            wmax = np.argmax(aq, axis=1)
+            act_in = (np.max(aq, axis=1) < 0.0).astype(np.float64)
+            gi = np.zeros((n, 3))
+            gi[np.arange(n), wmax] = act_in
+            gaq = go + gi  # d(d)/d(aq_j)
+            d = Lo + np.minimum(np.max(aq, axis=1), 0.0)
+            dp = gaq * sgn
+            dw_pairs = [(pw[j], -(gaq * sgn)[:, j]) for j in range(3)]
+            dw_pairs += [(pw[3 + j], -gaq[:, j]) for j in range(3)]
+            stack.append(leaf(d, dp, dw_pairs))
+        elif op == oc.OP_PLANE:
+            nrm, off = par[0:3], par[3]
+            d = points @ nrm + off
+            dp = np.broadcast_to(nrm, (n, 3)).copy()
+            dw_pairs = [(pw[j], points[:, j]) for j in range(3)]
+            dw_pairs.append((pw[3], np.ones(n)))
+            stack.append(leaf(d, dp, dw_pairs))
+        elif op == oc.OP_TORUS:
+            c, R, r = par[0:3], par[3], par[4]
+            q = points - c
+            hxz = np.maximum(np.hypot(q[:, 0], q[:, 2]), 1e-300)
+            ring = hxz - R
+            rr = np.maximum(np.hypot(ring, q[:, 1]), 1e-300)
+            d = rr - r
+            dring = ring / rr
+            dp = np.stack(
+                [
+                    dring * q[:, 0] / hxz,
+                    q[:, 1] / rr,
+                    dring * q[:, 2] / hxz,
+                ],
+                axis=1,
+            )
+            dw_pairs = [(pw[j], -dp[:, j]) for j in range(3)]
+            dw_pairs += [(pw[3], -dring), (pw[4], -np.ones(n))]
+            stack.append(leaf(d, dp, dw_pairs))
+        elif op in (oc.OP_UNION, oc.OP_INTERSECTION):
+            b = stack.pop()
+            a = stack.pop()
+            wa = (
+                (a.d <= b.d) if op == oc.OP_UNION else (a.d >= b.d)
+            ).astype(np.float64)
+            d = np.where(wa > 0.0, a.d, b.d)
+            dp = wa[:, None] * a.dp + (1 - wa)[:, None] * b.dp
+            dw = wa[:, None] * a.dw + (1 - wa)[:, None] * b.dw
+            stack.append(_Val(d, dp, dw))
+        elif op == oc.OP_SUBTRACTION:
+            b = stack.pop()
+            a = stack.pop()
+            wa = (a.d >= -b.d).astype(np.float64)
+            d = np.where(wa > 0.0, a.d, -b.d)
+            dp = wa[:, None] * a.dp - (1 - wa)[:, None] * b.dp
+            dw = wa[:, None] * a.dw - (1 - wa)[:, None] * b.dw
+            stack.append(_Val(d, dp, dw))
+        elif op in (
+            oc.OP_SMOOTH_UNION,
+            oc.OP_SMOOTH_SUBTRACTION,
+            oc.OP_SMOOTH_INTERSECTION,
+        ):
+            bb = stack.pop()
+            aa = stack.pop()
+            kw = pw[0]
+            k = max(par[0], 1e-8)  # device clamps k the same way (sdf.py)
+            k_pass = 1.0 if par[0] > 1e-8 else 0.0
+            # Express all three via smin(x, y, k) with sign maps:
+            #  union:        smin( a,  b)
+            #  subtraction: -smin(-a,  b)
+            #  intersection:-smin(-a, -b)
+            if op == oc.OP_SMOOTH_UNION:
+                sx, sy, so = 1.0, 1.0, 1.0
+            elif op == oc.OP_SMOOTH_SUBTRACTION:
+                sx, sy, so = -1.0, 1.0, -1.0
+            else:
+                sx, sy, so = -1.0, -1.0, -1.0
+            x, y = sx * aa.d, sy * bb.d
+            delta = x - y
+            habs = np.abs(delta)
+            hact = (habs < k).astype(np.float64)
+            h = np.maximum(k - habs, 0.0) / k
+            m = np.minimum(x, y)
+            wx = (x <= y).astype(np.float64)
+            # smin = m - h^2 k / 4
+            dsm_dx = wx - 0.5 * h * (-np.sign(delta)) * hact
+            dsm_dy = (1 - wx) - 0.5 * h * (np.sign(delta)) * hact
+            # d/dk of -(h^2 k)/4: dh/dk = |delta|/k^2 in the h>0 region, so
+            # d(h^2 k/4)/dk = (2 h k dh/dk + h^2)/4 = (2 h |delta|/k + h^2)/4.
+            dsm_dk = -((2.0 * h * (habs / k) * hact + h * h) / 4.0)
+            d = so * (m - h * h * k * 0.25)
+            da = so * dsm_dx * sx
+            db = so * dsm_dy * sy
+            dk = so * dsm_dk * k_pass
+            dp = da[:, None] * aa.dp + db[:, None] * bb.dp
+            dw = da[:, None] * aa.dw + db[:, None] * bb.dw
+            dw[:, kw] += dk
+            stack.append(_Val(d, dp, dw))
+        elif op == oc.OP_ROUND:
+            a = stack.pop()
+            dw = a.dw.copy()
+            dw[:, pw[0]] += -1.0
+            stack.append(_Val(a.d - par[0], a.dp, dw))
+        elif op == oc.OP_ONION:
+            a = stack.pop()
+            s = np.sign(a.d)
+            dw = s[:, None] * a.dw
+            dw[:, pw[0]] += -1.0
+            stack.append(_Val(np.abs(a.d) - par[0], s[:, None] * a.dp, dw))
+        else:
+            raise NotImplementedError(
+                f"analytic oracle gradient: unsupported opcode {op}"
+            )
+    if len(stack) != 1:
+        raise ValueError(f"malformed tape: final stack size {len(stack)}")
+    out = stack[0]
+    return out.d, out.dp, out.dw
+
+
+def _march_f64(tape, o, d, cfg):
+    """float64 sphere-trace (same discrete loop as oracle.march)."""
+    from .oracle import eval_tape  # noqa: F401  (kept independent on purpose)
+
+    n = o.shape[0]
+    t = np.zeros(n)
+    hit = np.zeros(n, bool)
+    active = np.ones(n, bool)
+    for _ in range(cfg.max_iter):
+        if not active.any():
+            break
+        dist, _, _ = eval_tape_grads(tape, o + d * t[:, None], cfg)
+        # (primal-only walk would do; reuse keeps one code path)
+        newly_hit = active & (dist < cfg.min_dist)
+        escaped = active & (dist > cfg.max_dist)
+        hit |= newly_hit
+        active &= ~(newly_hit | escaped)
+        t = np.where(active, t + dist, t)
+    return t, hit
+
+
+def pixel_grads(
+    tape: np.ndarray,
+    origins: np.ndarray,
+    dirs: np.ndarray,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+):
+    """Exact d(color)/d(tape words) for explicit rays.
+
+    origins/dirs: [N,3] (pass the device raygen's own rays so both sides
+    differentiate the identical primal). Returns (color[N,3],
+    dcolor[N,3,W]) BEFORE AA averaging — the caller reduces over samples.
+    Mirrors ops.march.shade + _gamma + the implicit-VJP treatment of t:
+    dt/dw = -F_w / clamp(grad_x F . d) at the converged hit.
+    """
+    o = np.asarray(origins, np.float64).reshape(-1, 3)
+    d = np.asarray(dirs, np.float64).reshape(-1, 3)
+    n = o.shape[0]
+    Wt = len(tape)
+
+    t, hit = _march_f64(tape, o, d, cfg)
+    hitf = hit.astype(np.float64)
+
+    # Implicit-function derivative of t (ops.march.march_bwd).
+    pos_hit = o + d * t[:, None]
+    _, gp, gw = eval_tape_grads(tape, pos_hit, cfg)
+    fdot = np.sum(gp * d, axis=1)
+    c = cfg.grad_denom_clamp
+    denom = np.where(np.abs(fdot) > c, fdot, np.where(fdot >= 0, c, -c))
+    dt_dw = -(gw / denom[:, None]) * hitf[:, None]  # [N, W]
+
+    # Shading position: device replaces miss positions by the origin
+    # (ops.march.shade double-where), making miss rays t-independent.
+    pos = np.where(hit[:, None], pos_hit, o)
+    dpos_dw = d[:, :, None] * dt_dw[:, None, :] * hitf[:, None, None]
+
+    # Tetrahedron normal (pre-normalization acc), gradient THROUGH the tap
+    # positions plus the direct parameter dependence.
+    acc = np.zeros((n, 3))
+    dacc = np.zeros((n, 3, Wt))
+    for k in _TAPS:
+        fk, gpk, gwk = eval_tape_grads(tape, pos + k * cfg.normal_eps, cfg)
+        dfk = np.einsum("nj,njw->nw", gpk, dpos_dw) + gwk
+        acc += k[None, :] * fk[:, None]
+        dacc += k[None, :, None] * dfk[:, None, :]
+    nn = np.maximum(_norm(acc), 1e-20)
+    normal = acc / nn[:, None]
+    # d(normal) = (I - n n^T)/|acc| . dacc   (guard exactly like device:
+    # max(|acc|,1e-20) — derivative of the max gate: acc path active iff
+    # |acc| > 1e-20)
+    gate = (_norm(acc) > 1e-20).astype(np.float64)
+    proj = np.eye(3)[None, :, :] - normal[:, :, None] * normal[:, None, :]
+    dnormal = np.einsum("nij,njw->niw", proj, dacc) / nn[:, None, None]
+    dnormal *= gate[:, None, None]
+
+    tl = pos - np.asarray(cfg.light_position, np.float64)
+    tln = np.maximum(_norm(tl), 1e-20)
+    tlu = tl / tln[:, None]
+    dtl = dpos_dw  # [N,3,W]
+    gate_tl = (_norm(tl) > 1e-20).astype(np.float64)
+    proj_tl = np.eye(3)[None, :, :] - tlu[:, :, None] * tlu[:, None, :]
+    dtlu = np.einsum("nij,njw->niw", proj_tl, dtl) / tln[:, None, None]
+    dtlu *= gate_tl[:, None, None]
+
+    dot = np.sum(normal * tlu, axis=1)
+    ddot = np.einsum("nj,njw->nw", tlu, dnormal) + np.einsum(
+        "nj,njw->nw", normal, dtlu
+    )
+    amb_gate = (dot > cfg.ambient).astype(np.float64)
+    diffuse = np.maximum(cfg.ambient, dot)
+    ddiffuse = amb_gate[:, None] * ddot
+
+    albedo = np.asarray(cfg.albedo, np.float64)
+    hit_color = albedo[None, :] * diffuse[:, None]
+    dhit_color = albedo[None, :, None] * ddiffuse[:, None, :]
+
+    # Floor (parameter-independent): primal only.
+    dy = d[:, 1]
+    dy_safe = np.where(np.abs(dy) > 1e-8, dy, 1e-8)
+    ft = (cfg.floor_y - o[:, 1]) / dy_safe
+    fpos = o + d * ft[:, None]
+    fxz = np.clip(fpos[:, [0, 2]], -1e7, 1e7)
+    ip = np.round(fxz + 0.5).astype(np.int64)
+    parity = ((ip[:, 0] ^ ip[:, 1]) & 1).astype(np.float64)
+    floor_color = (
+        np.asarray(cfg.floor_base, np.float64)[None, :]
+        + cfg.floor_checker * parity[:, None]
+    )
+    on_floor = (ft > 0.0) & (np.abs(dy) > 1e-8)
+    miss_color = np.where(on_floor[:, None], floor_color, 0.0)
+
+    color_lin = hitf[:, None] * hit_color + (1.0 - hitf[:, None]) * miss_color
+    dcolor_lin = hitf[:, None, None] * dhit_color
+
+    # sqrt gamma with the device's epsilon (ops.march._gamma).
+    pos_gate = (color_lin > 0.0).astype(np.float64)
+    gam = np.sqrt(np.maximum(color_lin, 0.0) + 1e-12)
+    dgam = pos_gate[:, :, None] * dcolor_lin / (2.0 * gam[:, :, None])
+    return gam, dgam

@@ -508,11 +508,14 @@ def make_scene_fn(spec: TapeSpec, cfg: RenderConfig):
             arg = arrays.tape_arg[i]
             k = arrays.op_param[i]
             slot = arrays.out_slot[i]
-            pair = jax.lax.dynamic_slice(stack, (slot, 0), (2, n))
+            # zero index typed like `slot` (x64 mode would otherwise make
+            # the literal an int64 and dynamic_slice rejects mixed widths)
+            z = jnp.zeros((), slot.dtype)
+            pair = jax.lax.dynamic_slice(stack, (slot, z), (2, n))
             a, b = pair[0], pair[1]
             leaf = jnp.take(D, arg, axis=0)
             val = jax.lax.switch(op, branches, a, b, leaf, k)
-            return jax.lax.dynamic_update_slice(stack, val[None, :], (slot, 0))
+            return jax.lax.dynamic_update_slice(stack, val[None, :], (slot, z))
 
         # Stack initialized to max_dist so an all-NOP (empty) tape yields the
         # reference's empty-scene semantics (wgsl:188-191). One extra scratch

@@ -1,0 +1,253 @@
+"""Analytic-oracle gradient validation at BASELINE's literal bar:
+
+    pixel-gradients allclose, rtol 1e-4, device AD vs the CPU oracle.
+
+The oracle side (ops.oracle_grad) computes exact closed-form gradients of
+the float64 reference renderer; the device side is the jnp differentiable
+renderer (ops.march, implicit-function VJP) run in float64 on CPU. The two
+share no code — agreement at rtol 1e-4 means the implicit-VJP machinery,
+the shading-chain transpose, and the parameter plumbing are all correct to
+numerical precision, not just to finite-difference tolerance (the old
+tests/test_grad.py bounds were 5-20% masked FD)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import raymarch_tpu as rm
+from raymarch_tpu.ops import opcodes as oc
+from raymarch_tpu.ops.oracle_grad import eval_tape_grads, pixel_grads
+
+CFG = dataclasses.replace(rm.DEFAULT_CONFIG, aa_samples=2, max_iter=80)
+
+SCENE = (
+    rm.sphere(center=(-0.55, 0.0, 0.1), radius=0.85).union(
+        rm.box(center=(0.7, 0.05, -0.1), half_extents=(0.45, 0.5, 0.4)),
+        k=0.35,
+    )
+) - rm.torus(center=(0.0, 0.75, 0.0), major_radius=0.65, minor_radius=0.22)
+
+CAM = rm.Camera.looking_at(position=(0.4, 1.5, 4.0), target=(0.0, 0.0, 0.0))
+
+
+def _word_map(tape, spec):
+    """Map wire-tape word index -> ('leaf', row, col) | ('op', instr_idx).
+
+    Mirrors ops.tape._decode_wire's row assignment (leaves sorted stably by
+    (type, ordinal)) for the UNREBALANCED lowering. Only the opcodes used by
+    SCENE are mapped."""
+    tape = np.asarray(tape, np.uint32)
+    # leaf ordinal -> leaf type, in wire order
+    types = []
+    entries = []  # (word_index, 'leaf', ordinal, col) | (word, 'op', instr)
+    i = 0
+    instr = 0
+    while i < len(tape):
+        op = int(tape[i])
+        i += 1
+        npar = oc.WIRE_PARAM_COUNT[op]
+        pw = list(range(i, i + npar))
+        i += npar
+        if op in oc.PRIMITIVE_OPS:
+            ordinal = len(types)
+            types.append(
+                {
+                    oc.OP_SPHERE: oc.LEAF_SPHERE,
+                    oc.OP_BOX: oc.LEAF_BOX,
+                    oc.OP_TORUS: oc.LEAF_TORUS,
+                }[op]
+            )
+            if op == oc.OP_SPHERE:
+                cols = [4, 5, 6, 7]
+            elif op == oc.OP_BOX:
+                cols = [4, 5, 6, 7, 8, 9]
+            elif op == oc.OP_TORUS:
+                cols = [4, 5, 6, 7, 8]
+            for w, c in zip(pw, cols):
+                entries.append((w, "leaf", ordinal, c))
+            instr += 1  # the PUSH
+        else:
+            if npar:  # smooth k / round / onion param
+                entries.append((pw[0], "op", instr, None))
+            instr += 1
+    # ordinal -> packed row (stable sort by (type, ordinal), then sequential
+    # within each type bank; mirrors compile_wire).
+    order = sorted(range(len(types)), key=lambda j: (types[j], j))
+    starts = {t: s for t, s, _ in spec.type_slices}
+    row_of = {}
+    cursor = dict(starts)
+    for j in order:
+        row_of[j] = cursor[types[j]]
+        cursor[types[j]] += 1
+    out = {}
+    for w, kind, a, b in entries:
+        out[w] = ("leaf", row_of[a], b) if kind == "leaf" else ("op", a)
+    return out
+
+
+@pytest.fixture(scope="module")
+def x64():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+class TestEvalTapeGrads:
+    def test_matches_oracle_forward(self):
+        tape = rm.encode_wire(SCENE)
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-2, 2, (256, 3))
+        d, _, _ = eval_tape_grads(tape, pts, CFG)
+        d_ref = rm.oracle.eval_tape(tape, pts.astype(np.float32), CFG)
+        np.testing.assert_allclose(d, d_ref, rtol=2e-5, atol=2e-5)
+
+    def test_spatial_gradient_unit_norm_on_hard_scene(self):
+        # Away from blend regions an SDF gradient has unit norm.
+        scene = rm.sphere(radius=1.0) | rm.box(
+            center=(3, 0, 0), half_extents=(1, 1, 1)
+        )
+        tape = rm.encode_wire(scene)
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-2, 2, (128, 3)) + np.array([0.0, 0.0, 2.5])
+        _, dp, _ = eval_tape_grads(tape, pts, CFG)
+        np.testing.assert_allclose(
+            np.linalg.norm(dp, axis=1), 1.0, rtol=1e-10
+        )
+
+    def test_param_gradient_vs_f64_central_difference(self):
+        # Sanity-anchor the closed forms against high-order FD in f64 (the
+        # oracle itself must be right before it can judge the device).
+        tape = rm.encode_wire(SCENE).copy()
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-1.5, 1.5, (64, 3))
+        d0, _, dw = eval_tape_grads(tape, pts, CFG)
+        f32 = tape.view(np.float32)
+        # Param words of SCENE's tape: sphere center x (1), sphere radius
+        # (4), box half-extent x (9), smooth-union k (13), torus center y
+        # (16).
+        for w in [1, 4, 9, 13, 16]:
+            eps = 1e-4
+            t_hi = tape.copy()
+            t_hi.view(np.float32)[w] = f32[w] + eps
+            t_lo = tape.copy()
+            t_lo.view(np.float32)[w] = f32[w] - eps
+            hi, _, _ = eval_tape_grads(t_hi, pts, CFG)
+            lo, _, _ = eval_tape_grads(t_lo, pts, CFG)
+            fd = (hi - lo) / (
+                float(t_hi.view(np.float32)[w]) - float(t_lo.view(np.float32)[w])
+            )
+            np.testing.assert_allclose(dw[:, w], fd, rtol=5e-4, atol=5e-4)
+
+
+class TestPixelGradRtol1em4:
+    def test_grad_oracle_analytic_rtol1e4(self, x64):
+        """Device AD pixel gradients vs analytic oracle, elementwise rtol
+        1e-4, on pixels where both sides agree on the discrete structure
+        (hit masks; disagreement is measure-zero threshold ties)."""
+        import jax
+        import jax.numpy as jnp
+
+        W = H = 32
+        tape = rm.encode_wire(SCENE)
+        spec, arrays = rm.compile_scene(SCENE, rebalance=False)
+        wmap = _word_map(tape, spec)
+
+        # Shared rays: the device raygen's own output, fed to both sides.
+        idx = jnp.arange(W * H * CFG.aa_samples**2, dtype=jnp.int32)
+        o_dev, d_dev = rm.raygen_flat(
+            idx,
+            jnp.asarray(CAM.position, jnp.float64),
+            jnp.asarray(CAM.rotation, jnp.float64),
+            W,
+            H,
+            CFG,
+        )
+        o_np = np.asarray(o_dev, np.float64)
+        d_np = np.asarray(d_dev, np.float64)
+
+        # Oracle: exact per-ray gradients -> per-pixel AA means.
+        S = CFG.aa_samples**2
+        col, dcol = pixel_grads(tape, o_np, d_np, CFG)
+        Wt = len(tape)
+        img_o = col.reshape(H, W, S, 3).mean(2)
+        dimg_o = dcol.reshape(H, W, S, 3, Wt).mean(2)
+        hit_o = _march_hits(tape, o_np, d_np)
+
+        # Device: f64 render + vjp with single-pixel cotangents.
+        lp64 = jnp.asarray(arrays.leaf_params, jnp.float64)
+        opp64 = jnp.asarray(arrays.op_param, jnp.float64)
+
+        from raymarch_tpu.ops import march as march_mod
+
+        def render(lp, opp):
+            import dataclasses as dc
+
+            a = dc.replace(arrays, leaf_params=lp, op_param=opp)
+            colors = march_mod.render_rays(
+                spec, a, o_dev, d_dev, CFG, mode="implicit"
+            )
+            return colors.reshape(H, W, S, 3).mean(2)
+
+        img_d, vjp = jax.vjp(render, lp64, opp64)
+        img_d_np = np.asarray(img_d)
+        np.testing.assert_allclose(img_d_np, img_o, rtol=1e-4, atol=1e-6)
+
+        # Device hit mask per sample (forward march, f64).
+        march = march_mod.make_march(spec, CFG, "forward")
+        _, hit_d, _ = march(o_dev, d_dev, arrays_f64(arrays))
+        agree = (
+            (np.asarray(hit_d) > 0.5).reshape(H, W, S)
+            == hit_o.reshape(H, W, S)
+        ).all(axis=2)
+        assert agree.mean() > 0.99
+
+        # Pixels to check: spread across hit / miss / silhouette regions.
+        hit_px = hit_o.reshape(H, W, S).any(2) & agree
+        ys, xs = np.nonzero(hit_px)
+        sel = list(zip(ys[:: max(1, len(ys) // 12)], xs[:: max(1, len(ys) // 12)]))
+        ys2, xs2 = np.nonzero(~hit_px & agree)
+        sel += list(
+            zip(ys2[:: max(1, len(ys2) // 6)], xs2[:: max(1, len(ys2) // 6)])
+        )
+        checked = 0
+        for (py, px) in sel[:20]:
+            for ch in range(3):
+                g = np.zeros((H, W, 3))
+                g[py, px, ch] = 1.0
+                dlp, dopp = vjp(jnp.asarray(g))
+                dev = np.zeros(Wt)
+                orc = np.zeros(Wt)
+                for w, m in wmap.items():
+                    if m[0] == "leaf":
+                        dev[w] = float(np.asarray(dlp)[m[1], m[2]])
+                    else:
+                        dev[w] = float(np.asarray(dopp)[m[1]])
+                    orc[w] = dimg_o[py, px, ch, w]
+                np.testing.assert_allclose(
+                    dev, orc, rtol=1e-4, atol=1e-9,
+                    err_msg=f"pixel ({py},{px}) ch {ch}",
+                )
+                checked += 1
+        assert checked >= 30
+
+
+def _march_hits(tape, o, d):
+    from raymarch_tpu.ops.oracle_grad import _march_f64
+
+    _, hit = _march_f64(tape, o, d, CFG)
+    return hit
+
+
+def arrays_f64(arrays):
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    return dc.replace(
+        arrays,
+        leaf_params=jnp.asarray(arrays.leaf_params, jnp.float64),
+        op_param=jnp.asarray(arrays.op_param, jnp.float64),
+    )
