@@ -72,6 +72,16 @@ class RenderConfig:
     # scenes. Pallas kernels only.
     relax: float = 1.0
 
+    # Soft-coverage (silhouette) gradients, mode="soft" renderers/fit: the
+    # binary hit mask becomes alpha = exp(-max(s_min - min_dist, 0)/beta)
+    # with s_min the ray's closest approach to the scene, so pixel losses
+    # carry gradients through silhouette COVERAGE (a translation whose only
+    # signal is the outline moving is fittable — impossible with the
+    # interior-only implicit VJP). beta is the falloff length in world
+    # units; forward images differ from the hard renderer by an O(beta)
+    # halo outside silhouettes.
+    coverage_beta: float = 0.02
+
     # Bounding-sphere march acceleration (Pallas kernels): rays missing a
     # conservative scene bound skip the march; the rest start at the bound
     # entry and escape at its exit. Exact (hit/t unchanged) — only step

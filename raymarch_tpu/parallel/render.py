@@ -90,10 +90,15 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
         return render_band_fused
 
     scene = make_scene_fn(spec, cfg)
+    soft = mode == "soft"
     if backend == "pallas":
         from ..ops.pallas_march import make_march_pallas
 
         march = make_march_pallas(spec, cfg)
+    elif soft:
+        from ..ops.march import make_march_soft, shade_soft
+
+        march = make_march_soft(spec, cfg)
     else:
         march = make_march(spec, cfg, mode)
     s = cfg.aa_samples * cfg.aa_samples
@@ -103,10 +108,18 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
         origins, dirs = raygen_flat(
             idx, camera.position, camera.rotation, width, height, cfg
         )
-        t, hit, _ = march(origins, dirs, arrays)
-        color = shade(
-            scene, origins, dirs, t, hit, arrays, cfg, _make_albedo_fn(spec, cfg)
-        )
+        if soft:
+            t, hit, s_min, t_min = march(origins, dirs, arrays)
+            color = shade_soft(
+                scene, origins, dirs, t, hit, s_min, t_min, arrays, cfg,
+                _make_albedo_fn(spec, cfg),
+            )
+        else:
+            t, hit, _ = march(origins, dirs, arrays)
+            color = shade(
+                scene, origins, dirs, t, hit, arrays, cfg,
+                _make_albedo_fn(spec, cfg),
+            )
         color = _gamma(color)
         return color.reshape(rows, width, s, 3).mean(axis=2)
 
