@@ -142,3 +142,7 @@ COP_SMOOTH_SUBTRACTION = 7  # smax(a, -b, k)
 COP_ROUND = 8  # stack[slot] = stack[slot] - r
 COP_ONION = 9  # stack[slot] = |stack[slot]| - t
 NUM_COPS = 10
+# (A fused PUSH+binary instruction set was prototyped to halve the dynamic
+# interpreter's dispatch count and measured SLOWER on TPU — Mosaic's switch
+# lowering pays per-branch, so wider dispatch tables cost more than the
+# instructions they save. Kept out deliberately.)

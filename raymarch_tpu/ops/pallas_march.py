@@ -155,41 +155,9 @@ def _combine_branches():
     ]
 
 
-def _culled_leaf_bank(cull, leaf_rows, lp_ref, px, py, pz):
-    """Dynamic-tape phase 1 with culling: evaluate every leaf row into
-    {row: distance tile}, gated with one scalar `lax.cond` per group of
-    GATE_MAX_LEAVES consecutive rows (a group whose members are all culled
-    for this tile writes constant FAR tiles instead of running its VPU
-    blocks). The static-tape path gates SUBTREES instead (ops.sdf); the
-    data-driven combine tape has no subtree structure to exploit, so
-    row-range groups are the best available granularity here."""
-    from .culling import FAR, GATE_MAX_LEAVES
-
-    groups: dict[int, list] = {}
-    for row, t, rot in sorted(leaf_rows, key=lambda r: r[0]):
-        groups.setdefault(row // GATE_MAX_LEAVES, []).append((row, t, rot))
-    tiles = {}
-    for _g, members in sorted(groups.items()):
-        rows = [r for r, _t, _rot in members]
-
-        def calc(members=members):
-            return tuple(
-                _leaf_distance_tile(lp_ref, r, t, rot, px, py, pz)
-                for r, t, rot in members
-            )
-
-        def far(members=members):
-            return tuple(px * 0.0 + FAR for _ in members)
-
-        vals = jax.lax.cond(cull.any_active(rows), calc, far)
-        for (r, _t, _rot), v in zip(members, vals):
-            tiles[r] = v
-    return tiles
-
-
 def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
     """Build scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
-    scratch, px, py, pz[, cull]) -> d tile. `scratch` is (D_ref, stack_ref)
+    scratch, px, py, pz[, cull]) -> d tile. `scratch` is (D_ref,)
     for the dynamic tape, or () for a static tape (pure register dataflow).
     `cull` (optional) is a per-tile active-leaf accessor row -> scalar bool
     from ops.culling.make_cull_reader."""
@@ -213,78 +181,228 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
 
     branches = _combine_branches()
 
-    def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
-        D_ref, stack_ref = scratch
-        # Phase 1: unrolled static leaf bank -> D rows.
-        if cull is None:
-            for row, ltype, rotated in leaf_rows:
-                D_ref[row] = _leaf_distance_tile(
-                    lp_ref, row, ltype, rotated, px, py, pz
-                )
-        else:
-            tiles = _culled_leaf_bank(cull, leaf_rows, lp_ref, px, py, pz)
-            for row, _t, _rot in leaf_rows:
-                D_ref[row] = tiles[row]
+    sd = spec.stack_depth
+    rows_sorted = sorted(leaf_rows, key=lambda r: r[0])
 
-        # Phase 2: data-driven combine tape over D.
+    def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
+        # Fully lazy dynamic interpreter, no VMEM scratch at all:
+        #
+        # - The value stack lives in REGISTERS; slots are selected by
+        #   comparing the runtime `slot` against static indices (stack
+        #   depth is bucketed small, ops.tape, and rebalanced chains need
+        #   only ~log2(leaves) slots).
+        # - Leaves are evaluated INSIDE the PUSH branch via a switch over
+        #   the (static) leaf rows — only pushes pay leaf work, and nothing
+        #   materializes a leaf-distance bank. (The previous design wrote
+        #   all leaves to a VMEM D bank and dynamically indexed it on EVERY
+        #   instruction; dynamic VMEM addressing per instruction dominated
+        #   the dynamic path's 2.2x gap over the static tape.)
+        # - The instruction loop is a static unroll of the PADDED bucket
+        #   length, so topology edits still recompile nothing.
+        #
         # (init derived from px, not jnp.full: Mosaic rejects replicated-
         # constant vectors meeting data-dependent layouts, see _march_tile)
-        far = px * 0.0 + cfg.max_dist
-        stack_ref[spec.stack_depth] = far
-        stack_ref[0] = far
+        def leaf_closure(row, ltype, rotated):
+            def run():
+                return _leaf_distance_tile(
+                    lp_ref, row, ltype, rotated, px, py, pz
+                )
 
-        def body(k, _):
+            if cull is None:
+                return run
+            from .culling import FAR
+
+            return lambda: jax.lax.cond(
+                cull.leaf(row), run, lambda: px * 0.0 + FAR
+            )
+
+        leaf_fns = [leaf_closure(r, t, ro) for r, t, ro in rows_sorted]
+
+        far = px * 0.0 + cfg.max_dist
+        stack = [far for _ in range(sd + 1)]
+
+        for k in range(spec.n_instr):
             op = ops_ref[k]
             arg = arg_ref[k]
             slot = slot_ref[k]
             kp = opp_ref[k]
-            a = stack_ref[slot]
-            b = stack_ref[slot + 1]
-            leaf = D_ref[arg]
-            val = jax.lax.switch(op, branches, a, b, leaf, kp)
-            stack_ref[slot] = val
-            return 0
+            a = stack[0]
+            b = stack[1]
+            for i in range(1, sd):
+                sel = slot == i
+                a = jnp.where(sel, stack[i], a)
+                b = jnp.where(sel, stack[i + 1], b)
 
-        jax.lax.fori_loop(0, spec.n_instr, body, 0, unroll=False)
-        return stack_ref[0]
+            def push():
+                if len(leaf_fns) == 1:
+                    return leaf_fns[0]()
+                return jax.lax.switch(arg, leaf_fns)
+
+            val = jax.lax.switch(
+                op,
+                [
+                    lambda: a,  # NOP
+                    push,  # PUSH: the only bare branch doing leaf work
+                    lambda: jnp.minimum(a, b),
+                    lambda: jnp.maximum(a, b),
+                    lambda: jnp.maximum(a, -b),
+                    lambda: branches[oc.COP_SMOOTH_UNION](a, b, None, kp),
+                    lambda: branches[oc.COP_SMOOTH_INTERSECTION](a, b, None, kp),
+                    lambda: branches[oc.COP_SMOOTH_SUBTRACTION](a, b, None, kp),
+                    lambda: a - kp,
+                    lambda: jnp.abs(a) - kp,
+                ],
+            )
+            for i in range(sd):
+                stack[i] = jnp.where(slot == i, val, stack[i])
+        return stack[0]
 
     return scene_eval
 
 
 def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM):
-    """Static-tape scene evaluation WITH material propagation:
-    color_eval(lp_ref, opp_ref, px, py, pz) -> (d, r, g, b) tiles/scalars.
-
-    Materials in the fully fused kernels require a static-tape compile (the
-    dynamic-tape interpreter would need a 4-channel VMEM stack; dynamic
-    scenes with materials shade through the jnp path in make_renderer
-    instead). Selection/blend rules mirror oracle.eval_tape_color."""
-    if spec.static_tape is None:
-        raise NotImplementedError(
-            "materials in the fused Pallas kernels require compile_scene("
-            "static=True); for dynamic tapes use make_renderer(backend="
-            "'pallas'/'jnp'), which shades with materials in jnp"
-        )
+    """Scene evaluation WITH material propagation:
+    color_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, px, py, pz)
+    -> (d, r, g, b) tiles/scalars. Selection/blend rules mirror
+    oracle.eval_tape_color. Static tapes unroll (ops.sdf); dynamic tapes run
+    the register-stack interpreter below with a 4-channel stack — the
+    kernels call this once per hit tile (not per march step), so the
+    interpreter overhead is immaterial here."""
     row_types = {r: (t, rot) for r, t, rot in leaf_rows}
-    from .sdf import _apply_static_tape_color
-
     ax, ay, az = cfg.albedo
     A0 = oc.LEAF_ALBEDO
     AF = oc.LEAF_MAT_FLAG
 
-    def color_eval(lp_ref, opp_ref, px, py, pz, cull=None):
-        def leaf_fn(row):
-            t, rot = row_types[row]
-            flag = lp_ref[row, AF]
-            r = flag * lp_ref[row, A0] + (1.0 - flag) * ax
-            g = flag * lp_ref[row, A0 + 1] + (1.0 - flag) * ay
-            b = flag * lp_ref[row, A0 + 2] + (1.0 - flag) * az
-            d = _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
-            return d, (r, g, b)
+    def leaf_rgb_scalars(lp_ref, row):
+        flag = lp_ref[row, AF]
+        r = flag * lp_ref[row, A0] + (1.0 - flag) * ax
+        g = flag * lp_ref[row, A0 + 1] + (1.0 - flag) * ay
+        b = flag * lp_ref[row, A0 + 2] + (1.0 - flag) * az
+        return r, g, b
 
-        d, (r, g, b) = _apply_static_tape_color(
-            spec, opp_ref, leaf_fn, cfg.max_dist, px, (ax, ay, az), cull=cull
-        )
+    if spec.static_tape is not None:
+        from .sdf import _apply_static_tape_color
+
+        def color_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                       px, py, pz, cull=None):
+            def leaf_fn(row):
+                t, rot = row_types[row]
+                d = _leaf_distance_tile(lp_ref, row, t, rot, px, py, pz)
+                return d, leaf_rgb_scalars(lp_ref, row)
+
+            d, (r, g, b) = _apply_static_tape_color(
+                spec, opp_ref, leaf_fn, cfg.max_dist, px, (ax, ay, az),
+                cull=cull,
+            )
+            return d, r, g, b
+
+        return color_eval
+
+    from .sdf import _mat_weight_smooth, smooth_max, smooth_min
+
+    sd = spec.stack_depth
+    rows_sorted = sorted(leaf_rows, key=lambda r: r[0])
+
+    def color_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                   px, py, pz, cull=None):
+        # Dynamic-tape interpreter with a 4-channel (d, r, g, b) register
+        # stack; same structure as _make_scene_eval's dynamic path. Winner/
+        # blend weights mirror oracle.eval_tape_color.
+        def leaf_closure(row, ltype, rotated):
+            def run():
+                d = _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz)
+                r, g, b = leaf_rgb_scalars(lp_ref, row)
+                z = d * 0.0
+                return d, z + r, z + g, z + b
+
+            if cull is None:
+                return run
+            from .culling import FAR
+
+            def culled():
+                z = px * 0.0
+                return z + FAR, z + ax, z + ay, z + az
+
+            return lambda: jax.lax.cond(cull.leaf(row), run, culled)
+
+        leaf_fns = [leaf_closure(r, t, ro) for r, t, ro in rows_sorted]
+
+        far = px * 0.0 + cfg.max_dist
+        zero = px * 0.0
+        stack = [
+            (far, zero + ax, zero + ay, zero + az) for _ in range(sd + 1)
+        ]
+
+        def blend(v, w, ca, cb):
+            return (
+                v,
+                w * ca[0] + (1.0 - w) * cb[0],
+                w * ca[1] + (1.0 - w) * cb[1],
+                w * ca[2] + (1.0 - w) * cb[2],
+            )
+
+        for k in range(spec.n_instr):
+            op = ops_ref[k]
+            arg = arg_ref[k]
+            slot = slot_ref[k]
+            kp = opp_ref[k]
+            a = stack[0]
+            b = stack[1]
+            for i in range(1, sd):
+                sel = slot == i
+                a = tuple(
+                    jnp.where(sel, x, y) for x, y in zip(stack[i], a)
+                )
+                b = tuple(
+                    jnp.where(sel, x, y) for x, y in zip(stack[i + 1], b)
+                )
+            da, ca = a[0], a[1:]
+            db, cb = b[0], b[1:]
+
+            def push():
+                if len(leaf_fns) == 1:
+                    return leaf_fns[0]()
+                return jax.lax.switch(arg, leaf_fns)
+
+            val = jax.lax.switch(
+                op,
+                [
+                    lambda: a,  # NOP
+                    push,
+                    lambda: blend(
+                        jnp.minimum(da, db),
+                        jnp.where(da <= db, 1.0, 0.0), ca, cb,
+                    ),
+                    lambda: blend(
+                        jnp.maximum(da, db),
+                        jnp.where(da >= db, 1.0, 0.0), ca, cb,
+                    ),
+                    lambda: blend(
+                        jnp.maximum(da, -db),
+                        jnp.where(da >= -db, 1.0, 0.0), ca, cb,
+                    ),
+                    lambda: blend(
+                        smooth_min(da, db, kp),
+                        _mat_weight_smooth(da, db, kp), ca, cb,
+                    ),
+                    lambda: blend(
+                        smooth_max(da, db, kp),
+                        _mat_weight_smooth(db, da, kp), ca, cb,
+                    ),
+                    lambda: blend(
+                        smooth_max(da, -db, kp),
+                        _mat_weight_smooth(-db, da, kp), ca, cb,
+                    ),
+                    lambda: (da - kp,) + ca,  # ROUND
+                    lambda: (jnp.abs(da) - kp,) + ca,  # ONION
+                ],
+            )
+            for i in range(sd):
+                sel = slot == i
+                stack[i] = tuple(
+                    jnp.where(sel, x, y) for x, y in zip(val, stack[i])
+                )
+        d, r, g, b = stack[0]
         return d, r, g, b
 
     return color_eval
@@ -483,12 +601,10 @@ def compute_bound(spec: TapeSpec, arrays: TapeArrays):
 
 
 def _scratch_shapes(spec: TapeSpec, bm: int = BM):
-    if spec.static_tape is not None:
-        return []  # static tape: register dataflow, no VMEM scratch
-    return [
-        pltpu.VMEM((spec.n_leaves, bm, LANES), jnp.float32),  # D leaf distances
-        pltpu.VMEM((spec.stack_depth + 1, bm, LANES), jnp.float32),  # value stack
-    ]
+    # Both tape forms now evaluate in pure register dataflow: the static
+    # tape by construction, the dynamic interpreter via its register stack
+    # and lazy in-branch leaf evaluation (see _make_scene_eval).
+    return []
 
 
 @functools.lru_cache(maxsize=None)
@@ -852,7 +968,9 @@ def make_pallas_image_render(
         # Per-hit albedo from the material system (one extra scene eval at
         # the hit points; material-free scenes keep the fixed albedo).
         if color_eval is not None:
-            _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz)
+            _, mar, mag, mab = color_eval(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, px, py, pz
+            )
         else:
             mar, mag, mab = ax_, ay_, az_
 

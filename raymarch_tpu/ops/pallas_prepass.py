@@ -837,7 +837,10 @@ def make_pallas_image_render_aa(
             # Per-hit albedo (material system; one extra scene eval). Force
             # tiles so both cond branches return matching shapes.
             if color_eval is not None:
-                _, mar, mag, mab = color_eval(lp_ref, opp_ref, px, py, pz, cull=cull)
+                _, mar, mag, mab = color_eval(
+                    lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                    px, py, pz, cull=cull,
+                )
                 mar = dx * 0.0 + mar
                 mag = dx * 0.0 + mag
                 mab = dx * 0.0 + mab

@@ -563,7 +563,11 @@ def compile_wire(
     if n_real and depth != 1:
         raise ValueError(f"malformed tape: final stack depth {depth} != 1")
 
-    sd = stack_depth if stack_depth is not None else _next_pow2(max(max_depth, 1), 8)
+    # Bucket from 2 (not 8): the dynamic-tape interpreter's register stack
+    # pays one vector select per slot per instruction, and rebalanced chains
+    # need only ~log2(leaves) slots — a deep-bucket default would triple the
+    # select chains for typical scenes.
+    sd = stack_depth if stack_depth is not None else _next_pow2(max(max_depth, 1), 2)
     # NOP padding writes to the top scratch slot so it can never clobber live
     # values; the result always lives in slot 0.
     out_slot[n_real:] = sd - 1

@@ -187,12 +187,42 @@ class TestDeviceColor:
         img = np.asarray(rnd(arrays, cv))
         assert np.abs(img - img_o).mean() < 1e-3
 
-    def test_fused_dynamic_with_materials_raises(self):
-        from raymarch_tpu.ops.pallas_march import make_pallas_image_render
+    def test_fused_dynamic_with_materials(self):
+        # Dynamic tape + materials in the fused prepass renderer (the
+        # 4-channel register-stack interpreter): image matches the oracle,
+        # and a material edit is visible with zero retrace.
+        import jax
+        import jax.numpy as jnp
 
-        spec, _ = rm.compile_scene(two_sphere_scene())  # dynamic tape
-        with pytest.raises(NotImplementedError):
-            make_pallas_image_render(spec, CFG, 16, 16, interpret=True)
+        from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+        scene = two_sphere_scene()
+        spec, arrays = rm.compile_scene(scene)  # dynamic tape
+        W, H = 48, 32
+        img_o = oracle.render(rm.encode_wire(scene), CAM, W, H, CFG)
+        rnd = make_pallas_image_render_aa(
+            spec, CFG, W, H, interpret=True, bm_coarse=8, bm_fine=8
+        )
+        cv = jnp.asarray(
+            np.concatenate([CAM.position, CAM.rotation, [0.0]]).astype(np.float32)
+        )
+        traces = 0
+
+        @jax.jit
+        def render(a, c):
+            nonlocal traces
+            traces += 1
+            return rnd(a, c)
+
+        img = np.asarray(render(arrays, cv))
+        assert np.abs(img - img_o).mean() < 1e-3
+
+        lp = np.asarray(arrays.leaf_params).copy()
+        lp[0, oc.LEAF_ALBEDO : oc.LEAF_ALBEDO + 3] = (0.9, 0.9, 0.1)
+        arrays2 = dataclasses.replace(arrays, leaf_params=lp)
+        img2 = np.asarray(render(arrays2, cv))
+        assert traces == 1
+        assert np.abs(img - img2).max() > 1e-3
 
     def test_albedo_gradient_flows(self):
         import jax
