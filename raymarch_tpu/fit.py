@@ -48,6 +48,7 @@ def fit_scene(
     leaf_mask: Optional[np.ndarray] = None,
     op_mask: Optional[np.ndarray] = None,
     fit_camera: bool = False,
+    camera_optimizer=None,
     mode: str = "implicit",
     backend: str = "jnp",
     log_every: int = 0,
@@ -88,10 +89,11 @@ def fit_scene(
         mode=mode,
         backend=backend,
         fit_camera=fit_camera,
+        camera_optimizer=camera_optimizer,
         grad_mask=grad_mask,
     )
     jstep = jax.jit(step)
-    opt_state = step.init_opt_state(arrays)
+    opt_state = step.init_opt_state(arrays, camera if fit_camera else None)
     target = jnp.asarray(target, jnp.float32)
 
     losses = []

@@ -179,6 +179,7 @@ def make_fit_step(
     fit_camera: bool = False,
     grad_mask=None,
     interpret: bool = False,
+    camera_optimizer=None,
 ):
     """Build a pjit-able distributed training step for inverse rendering
     (BASELINE config 3: fit primitive params / blend radii to a target image
@@ -186,6 +187,12 @@ def make_fit_step(
 
     step(arrays, camera, opt_state, target[H,W,3]) ->
         (new_arrays, new_camera, new_opt_state, loss)
+
+    With fit_camera, the pose is trained by `camera_optimizer` (any optax
+    optimizer; default sgd(1e-2)), with the rotation projected back onto
+    the unit-quaternion manifold after each update; its state rides inside
+    `opt_state` alongside the scene-parameter state, so `init_opt_state`
+    then takes the camera too: init_opt_state(arrays, camera).
 
     Inside shard_map each device computes the gradient of ITS row band's
     summed squared error w.r.t. the replicated parameters, then `psum`s
@@ -240,7 +247,16 @@ def make_fit_step(
             target = jnp.pad(target, ((0, h_pad - height), (0, 0), (0, 0)))
         return target
 
+    if fit_camera and camera_optimizer is None:
+        import optax
+
+        camera_optimizer = optax.sgd(1e-2)
+
     def step(arrays: TapeArrays, camera, opt_state, target):
+        if fit_camera:
+            param_state, cam_state = opt_state
+        else:
+            param_state = opt_state
         loss, grads = sharded_grads(arrays, camera, pad_target(target))
         (g_leaf, g_op), g_cam = grads
         if grad_mask is not None:
@@ -251,7 +267,9 @@ def make_fit_step(
             g_leaf = g_leaf * jnp.asarray(m_leaf, g_leaf.dtype)
             g_op = g_op * jnp.asarray(m_op, g_op.dtype)
         params = (arrays.leaf_params, arrays.op_param)
-        updates, opt_state = optimizer.update((g_leaf, g_op), opt_state, params)
+        updates, param_state = optimizer.update(
+            (g_leaf, g_op), param_state, params
+        )
         new_leaf, new_op = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates
         )
@@ -259,21 +277,32 @@ def make_fit_step(
             arrays, leaf_params=new_leaf, op_param=new_op
         )
         new_camera = camera
+        new_opt_state = param_state
         if fit_camera:
-            # Plain SGD on the pose (separate, tiny state); keep the
-            # rotation on the unit-quaternion manifold.
-            new_camera = jax.tree_util.tree_map(
-                lambda c, g: c - 1e-2 * g, camera, g_cam
+            cam_updates, cam_state = camera_optimizer.update(
+                g_cam, cam_state, camera
             )
+            new_camera = jax.tree_util.tree_map(
+                lambda c, u: c + u, camera, cam_updates
+            )
+            # Project the rotation back onto the unit-quaternion manifold.
             q = new_camera.rotation
             new_camera = dataclasses.replace(
                 new_camera,
                 rotation=q / jnp.maximum(jnp.linalg.norm(q), 1e-8),
             )
-        return new_arrays, new_camera, opt_state, loss
+            new_opt_state = (param_state, cam_state)
+        return new_arrays, new_camera, new_opt_state, loss
 
-    def init_opt_state(arrays: TapeArrays):
-        return optimizer.init((arrays.leaf_params, arrays.op_param))
+    def init_opt_state(arrays: TapeArrays, camera=None):
+        param_state = optimizer.init((arrays.leaf_params, arrays.op_param))
+        if not fit_camera:
+            return param_state
+        if camera is None:
+            raise ValueError(
+                "init_opt_state needs the camera when fit_camera=True"
+            )
+        return param_state, camera_optimizer.init(camera)
 
     step.init_opt_state = init_opt_state
     return step

@@ -138,3 +138,61 @@ class TestDistributedFit:
         cx = float(np.asarray(a.leaf_params)[0, 4])
         assert abs(cx) < 0.05, cx
         assert losses[-1] < losses[0]
+
+    def test_fit_camera_pose_with_adam(self, compiled):
+        """Pose fitting with a real optax optimizer (adam) — the camera gets
+        the same optimizer treatment as scene params (round-1 hardcoded
+        SGD(1e-2)); rotation stays unit-norm via the manifold projection.
+        Soft-coverage mode: pose motion is silhouette-dominated, so the
+        interior-only gradient oscillates while the coverage term converges
+        (measured during bring-up)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        spec, arrays = compiled
+        W = H = 32
+        mesh = make_mesh(8)
+        render = jax.jit(make_sharded_renderer(spec, W, H, mesh, CFG))
+        target = jnp.asarray(render(arrays, CAM))
+
+        # Perturb the rotation by ~3 degrees about y (dq * q0).
+        ang = np.deg2rad(3.0)
+        dq = np.array(
+            [np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0], np.float32
+        )
+        q0 = np.asarray(CAM.rotation)
+        w1, x1, y1, z1 = dq
+        w2, x2, y2, z2 = q0
+        qp = np.array(
+            [
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ],
+            np.float32,
+        )
+        cam0 = dataclasses.replace(CAM, rotation=qp)
+        err0 = np.linalg.norm(qp - q0)
+
+        m_leaf = np.zeros_like(arrays.leaf_params)
+        m_op = np.zeros_like(arrays.op_param)
+        fit = make_fit_step(
+            spec, W, H, mesh, optax.sgd(0.0), CFG, mode="soft",
+            fit_camera=True, camera_optimizer=optax.adam(5e-3),
+            grad_mask=(m_leaf, m_op),
+        )
+        step = jax.jit(fit)
+        opt_state = fit.init_opt_state(arrays, cam0)
+
+        a, cam, losses = arrays, cam0, []
+        for _ in range(60):
+            a, cam, opt_state, loss = step(a, cam, opt_state, target)
+            losses.append(float(loss))
+        err = np.linalg.norm(np.asarray(cam.rotation) - q0)
+        assert err < 0.4 * err0, (err, err0)
+        assert losses[-1] < losses[0] * 0.6
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(cam.rotation)), 1.0, rtol=1e-5
+        )
