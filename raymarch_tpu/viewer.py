@@ -90,6 +90,38 @@ class ViewerApp:
         self._lock = threading.Lock()
         self.frames_rendered = 0
         self.compiles = 0
+        # Editor-only state (reference GraphEditorState node positions,
+        # csg_node_graph.rs:233-239): node id -> [x, y] canvas coords.
+        self.node_pos: Dict[int, list] = {}
+        self._auto_layout()
+
+    def _auto_layout(self) -> None:
+        """Assign canvas positions to nodes that lack one: simple
+        topological columns (primitives left, Root right)."""
+        depth: Dict[int, int] = {}
+
+        def d(nid, seen=()):
+            if nid in depth:
+                return depth[nid]
+            if nid in seen:
+                return 0
+            node = self.graph.nodes[nid]
+            kids = [
+                v[1]
+                for v in node.inputs.values()
+                if isinstance(v, tuple) and len(v) == 2 and v[0] == "node"
+            ]
+            depth[nid] = 1 + max((d(k, seen + (nid,)) for k in kids), default=0)
+            return depth[nid]
+
+        per_col: Dict[int, int] = {}
+        for nid in sorted(self.graph.nodes):
+            if nid in self.node_pos:
+                continue
+            col = d(nid) - 1
+            row = per_col.get(col, 0)
+            per_col[col] = row + 1
+            self.node_pos[nid] = [30 + col * 190, 30 + row * 150]
 
     # -- input events (reference src/main.rs:58-69) ----------------------
     def handle_event(self, ev: Dict[str, Any]) -> None:
@@ -107,12 +139,67 @@ class ViewerApp:
     # -- graph API --------------------------------------------------------
     def graph_dict(self) -> Dict[str, Any]:
         with self._lock:
-            return self.graph.to_dict()
+            out = self.graph.to_dict()
+            out["pos"] = {str(k): list(v) for k, v in self.node_pos.items()}
+            return out
 
     def set_graph(self, data: Dict[str, Any]) -> None:
         g = CSGNodeGraph.from_dict(data)  # validate before swapping in
         with self._lock:
             self.graph = g
+            pos = data.get("pos", {})
+            self.node_pos = {
+                int(k): [float(v[0]), float(v[1])] for k, v in pos.items()
+                if int(k) in g.nodes
+            }
+            self._auto_layout()
+
+    def templates(self) -> Dict[str, Any]:
+        """Node palette for the editor: template -> input specs."""
+        from .models.graph import TEMPLATES
+
+        return {
+            name: [
+                {"name": s.name, "kind": s.kind, "default": s.default}
+                for s in tpl.inputs
+            ]
+            for name, tpl in TEMPLATES.items()
+        }
+
+    def edit(self, op: Dict[str, Any]) -> Dict[str, Any]:
+        """Fine-grained graph edits for the visual editor (the reference's
+        egui node editor interactions, csg_node_graph.rs:185-206 widgets and
+        wire connect/disconnect). Every op is validated by the graph model;
+        bad ops raise and surface as HTTP 400."""
+        with self._lock:
+            kind = op.get("op")
+            if kind == "add":
+                nid = self.graph.add_node(op["template"])
+                self.node_pos[nid] = [float(v) for v in op.get("pos", (40, 40))]
+                return {"id": nid}
+            if kind == "remove":
+                self.graph.remove_node(int(op["id"]))
+                self.node_pos.pop(int(op["id"]), None)
+                return {}
+            if kind == "connect":
+                self.graph.connect(int(op["src"]), int(op["dst"]), op["input"])
+                return {}
+            if kind == "disconnect":
+                self.graph.disconnect(int(op["dst"]), op["input"])
+                return {}
+            if kind == "set_input":
+                v = op["value"]
+                self.graph.set_input(
+                    int(op["id"]), op["name"],
+                    tuple(v) if isinstance(v, list) else float(v),
+                )
+                return {}
+            if kind == "move":
+                self.node_pos[int(op["id"])] = [
+                    float(op["pos"][0]), float(op["pos"][1])
+                ]
+                return {}
+            raise ValueError(f"unknown edit op: {kind!r}")
 
     # -- per-frame pipeline ------------------------------------------------
     def _renderer_for(self, spec):
@@ -168,28 +255,61 @@ _HTML = """<!doctype html>
 <style>
  body { margin:0; background:#15161a; color:#cfd2d8; font:13px monospace;
         display:flex; height:100vh; }
- #left { width:380px; padding:10px; display:flex; flex-direction:column; }
+ #left { width:620px; min-width:380px; padding:10px; display:flex;
+         flex-direction:column; border-right:1px solid #2a2d34; }
  #right { flex:1; display:flex; align-items:center; justify-content:center; }
  #view { image-rendering:auto; max-width:100%; max-height:100%;
          cursor:grab; user-select:none; -webkit-user-drag:none; }
- textarea { flex:1; background:#1d1f24; color:#cfd2d8; border:1px solid #333;
-            font:11px monospace; white-space:pre; }
- button { margin-top:6px; background:#2a2d34; color:#cfd2d8; border:1px solid
-          #444; padding:6px; cursor:pointer; }
+ #toolbar { display:flex; gap:6px; margin-bottom:8px; align-items:center; }
+ select, button { background:#2a2d34; color:#cfd2d8; border:1px solid #444;
+                  padding:5px; cursor:pointer; font:12px monospace; }
+ #editor { position:relative; flex:1; background:#101114; overflow:auto;
+           border:1px solid #2a2d34; }
+ #wires { position:absolute; left:0; top:0; width:2200px; height:2200px;
+          pointer-events:none; }
+ .node { position:absolute; min-width:150px; background:#1d1f24;
+         border:1px solid #3a3f48; border-radius:5px; font-size:11px; }
+ .node .title { background:#262a31; padding:4px 6px; cursor:move;
+                border-radius:5px 5px 0 0; display:flex;
+                justify-content:space-between; }
+ .node .title .del { cursor:pointer; color:#8a8f98; padding:0 3px; }
+ .node .title .del:hover { color:#ff7b72; }
+ .row { display:flex; align-items:center; gap:4px; padding:2px 6px;
+        position:relative; }
+ .row label { width:78px; color:#8a8f98; overflow:hidden; }
+ .row input { width:44px; background:#15161a; color:#cfd2d8;
+              border:1px solid #333; font:11px monospace; padding:1px 2px; }
+ .port { width:10px; height:10px; border-radius:50%; border:1px solid #6fa8dc;
+         background:#15161a; cursor:crosshair; flex:none; }
+ .port.full { background:#6fa8dc; }
+ .outport { position:absolute; right:-6px; top:50%; margin-top:-5px;
+            border-color:#93c47d; }
+ .outport.full { background:#93c47d; }
  #status { margin-top:6px; min-height:2.5em; color:#8a8f98; }
  h3 { margin:2px 0 8px; font-size:13px; }
+ path.wire { stroke:#6fa8dc; stroke-width:1.6; fill:none; opacity:.85; }
+ path.temp { stroke:#e0b35a; stroke-dasharray:4 3; }
 </style></head><body>
 <div id="left">
- <h3>raymarch_tpu &mdash; CSG node graph</h3>
- <textarea id="graph" spellcheck="false"></textarea>
- <button id="apply">Apply graph</button>
- <div id="status">drag: orbit &middot; right-drag: pan &middot; wheel: dolly</div>
+ <h3>raymarch_tpu &mdash; CSG node editor</h3>
+ <div id="toolbar">
+  <select id="tplsel"></select>
+  <button id="addnode">+ add node</button>
+  <span style="color:#8a8f98">drag title: move &middot; drag &#9679;&rarr;&#9675;:
+   connect &middot; click filled port: disconnect</span>
+ </div>
+ <div id="editor"><svg id="wires"></svg></div>
+ <div id="status">viewport &mdash; drag: orbit &middot; right-drag: pan &middot; wheel: dolly</div>
 </div>
 <div id="right"><img id="view" draggable="false"></div>
 <script>
 const view = document.getElementById('view');
 const status_ = document.getElementById('status');
-const ta = document.getElementById('graph');
+const editor = document.getElementById('editor');
+const wires = document.getElementById('wires');
+let G = null, TPL = null;
+
+// ---- frame loop ------------------------------------------------------------
 let inflight = false;
 async function tick() {
   if (!inflight) {
@@ -205,15 +325,15 @@ async function tick() {
   }
   requestAnimationFrame(tick);
 }
+
+// ---- camera input (reference src/main.rs:58-69 routing) --------------------
 function send(ev) { fetch('/event', {method:'POST', body:JSON.stringify(ev)}); }
-let drag = null;
-view.addEventListener('mousedown', e => { drag = e.button; e.preventDefault(); });
-window.addEventListener('mouseup', () => drag = null);
+let camdrag = null;
+view.addEventListener('mousedown', e => { camdrag = e.button; e.preventDefault(); });
+window.addEventListener('mouseup', () => camdrag = null);
 window.addEventListener('mousemove', e => {
-  if (drag === null) return;
-  // Reference input routing (src/main.rs:58-69): primary drag -> Orbit,
-  // secondary -> Pan; deltas are raw pixels, speeds live server-side.
-  if (drag === 0) send({type:'orbit', dx:e.movementX, dy:e.movementY});
+  if (camdrag === null) return;
+  if (camdrag === 0) send({type:'orbit', dx:e.movementX, dy:e.movementY});
   else send({type:'pan', dx:e.movementX, dy:e.movementY});
 });
 view.addEventListener('contextmenu', e => e.preventDefault());
@@ -221,17 +341,186 @@ view.addEventListener('wheel', e => {
   e.preventDefault();
   send({type:'dolly', delta:e.deltaY});
 }, {passive:false});
-async function loadGraph() {
-  const g = await (await fetch('/graph')).json();
-  ta.value = JSON.stringify(g, null, 1);
+
+// ---- graph editor ----------------------------------------------------------
+async function api(op) {
+  const r = await fetch('/edit', {method:'POST', body:JSON.stringify(op)});
+  if (!r.ok) { status_.textContent = 'edit rejected: ' + await r.text(); return null; }
+  return r.json();
 }
-document.getElementById('apply').onclick = async () => {
-  try {
-    const r = await fetch('/graph', {method:'POST', body:ta.value});
-    status_.textContent = r.ok ? 'graph applied' : 'rejected: ' + await r.text();
-  } catch (e) { status_.textContent = 'apply error: ' + e; }
-};
-loadGraph(); tick();
+async function refresh() {
+  G = await (await fetch('/graph')).json();
+  draw();
+}
+function portEl(id, input) {
+  return editor.querySelector(
+    input === null ? `.outport[data-id="${id}"]`
+                   : `.port[data-id="${id}"][data-input="${input}"]:not(.outport)`);
+}
+function portXY(el) {
+  const a = el.getBoundingClientRect(), b = editor.getBoundingClientRect();
+  return [a.left - b.left + a.width/2 + editor.scrollLeft,
+          a.top - b.top + a.height/2 + editor.scrollTop];
+}
+function curve(x1, y1, x2, y2) {
+  const dx = Math.max(30, Math.abs(x2 - x1) / 2);
+  return `M ${x1} ${y1} C ${x1+dx} ${y1}, ${x2-dx} ${y2}, ${x2} ${y2}`;
+}
+function drawWires(extra) {
+  wires.innerHTML = '';
+  for (const n of G.nodes) {
+    for (const [k, v] of Object.entries(n.inputs)) {
+      if (v && typeof v === 'object' && '$node' in v) {
+        const a = portEl(v['$node'], null), b = portEl(n.id, k);
+        if (!a || !b) continue;
+        const [x1, y1] = portXY(a), [x2, y2] = portXY(b);
+        const p = document.createElementNS('http://www.w3.org/2000/svg', 'path');
+        p.setAttribute('class', 'wire');
+        p.setAttribute('d', curve(x1, y1, x2, y2));
+        wires.appendChild(p);
+      }
+    }
+  }
+  if (extra) wires.appendChild(extra);
+}
+function numCell(nid, name, vals, idx, isVec) {
+  const inp = document.createElement('input');
+  inp.type = 'number'; inp.step = '0.1'; inp.value = vals[idx];
+  inp.onchange = async () => {
+    const cur = [...inp.parentElement.querySelectorAll('input')].map(x => parseFloat(x.value) || 0);
+    await api({op:'set_input', id:nid, name:name, value: isVec ? cur : cur[0]});
+    status_.textContent = `${name} = ${isVec ? cur : cur[0]}`;
+  };
+  return inp;
+}
+function draw() {
+  editor.querySelectorAll('.node').forEach(el => el.remove());
+  for (const n of G.nodes) {
+    const el = document.createElement('div');
+    el.className = 'node';
+    const pos = (G.pos || {})[n.id] || [30, 30];
+    el.style.left = pos[0] + 'px'; el.style.top = pos[1] + 'px';
+    const title = document.createElement('div');
+    title.className = 'title';
+    title.innerHTML = `<span>${n.template}</span>`;
+    const del = document.createElement('span');
+    del.className = 'del'; del.textContent = '×';
+    del.onclick = async () => { await api({op:'remove', id:n.id}); refresh(); };
+    if (n.template !== 'Root') title.appendChild(del);
+    el.appendChild(title);
+    for (const spec of TPL[n.template]) {
+      const row = document.createElement('div');
+      row.className = 'row';
+      if (spec.kind === 'sdf') {
+        const port = document.createElement('div');
+        port.className = 'port';
+        port.dataset.id = n.id; port.dataset.input = spec.name;
+        const v = n.inputs[spec.name];
+        if (v && typeof v === 'object' && '$node' in v) port.classList.add('full');
+        port.onclick = async () => {
+          if (port.classList.contains('full')) {
+            await api({op:'disconnect', dst:n.id, input:spec.name}); refresh();
+          }
+        };
+        row.appendChild(port);
+        const lab = document.createElement('label');
+        lab.textContent = spec.name;
+        row.appendChild(lab);
+      } else {
+        const lab = document.createElement('label');
+        lab.textContent = spec.name;
+        row.appendChild(lab);
+        let v = n.inputs[spec.name];
+        if (v === undefined || v === null) v = spec.default;
+        const vals = Array.isArray(v) ? v : [v];
+        const isVec = spec.kind === 'vec3';
+        const m = isVec ? 3 : 1;
+        for (let i = 0; i < m; i++)
+          row.appendChild(numCell(n.id, spec.name, vals, i, isVec));
+      }
+      el.appendChild(row);
+    }
+    if (n.template !== 'Root') {
+      const out = document.createElement('div');
+      out.className = 'port outport full';
+      out.dataset.id = n.id;
+      el.appendChild(out);
+    }
+    editor.appendChild(el);
+
+    // node dragging
+    title.onmousedown = e => {
+      if (e.target.classList.contains('del')) return;
+      e.preventDefault();
+      const sx = e.clientX, sy = e.clientY;
+      const ox = parseFloat(el.style.left), oy = parseFloat(el.style.top);
+      const move = ev => {
+        el.style.left = (ox + ev.clientX - sx) + 'px';
+        el.style.top = (oy + ev.clientY - sy) + 'px';
+        drawWires();
+      };
+      const up = async ev => {
+        window.removeEventListener('mousemove', move);
+        window.removeEventListener('mouseup', up);
+        const p = [parseFloat(el.style.left), parseFloat(el.style.top)];
+        (G.pos || (G.pos = {}))[n.id] = p;
+        await api({op:'move', id:n.id, pos:p});
+      };
+      window.addEventListener('mousemove', move);
+      window.addEventListener('mouseup', up);
+    };
+  }
+  // wire dragging from output ports
+  editor.querySelectorAll('.outport').forEach(out => {
+    out.onmousedown = e => {
+      e.preventDefault(); e.stopPropagation();
+      const src = parseInt(out.dataset.id);
+      const [x1, y1] = portXY(out);
+      const temp = document.createElementNS('http://www.w3.org/2000/svg', 'path');
+      temp.setAttribute('class', 'wire temp');
+      const move = ev => {
+        const b = editor.getBoundingClientRect();
+        const x2 = ev.clientX - b.left + editor.scrollLeft;
+        const y2 = ev.clientY - b.top + editor.scrollTop;
+        temp.setAttribute('d', curve(x1, y1, x2, y2));
+        drawWires(temp);
+      };
+      const up = async ev => {
+        window.removeEventListener('mousemove', move);
+        window.removeEventListener('mouseup', up);
+        const t = ev.target;
+        if (t.classList && t.classList.contains('port') &&
+            !t.classList.contains('outport')) {
+          await api({op:'connect', src:src,
+                     dst:parseInt(t.dataset.id), input:t.dataset.input});
+          status_.textContent = `connected ${src} -> ${t.dataset.id}.${t.dataset.input}`;
+        }
+        refresh();
+      };
+      window.addEventListener('mousemove', move);
+      window.addEventListener('mouseup', up);
+    };
+  });
+  drawWires();
+}
+async function boot() {
+  TPL = await (await fetch('/templates')).json();
+  const sel = document.getElementById('tplsel');
+  for (const name of Object.keys(TPL)) {
+    if (name === 'Root') continue;
+    const o = document.createElement('option');
+    o.value = o.textContent = name;
+    sel.appendChild(o);
+  }
+  document.getElementById('addnode').onclick = async () => {
+    const r = await api({op:'add', template:sel.value,
+                         pos:[40 + Math.random()*80, 40 + Math.random()*120]});
+    if (r) { status_.textContent = `added ${sel.value} (#${r.id})`; refresh(); }
+  };
+  await refresh();
+  tick();
+}
+boot();
 </script></body></html>
 """
 
@@ -279,6 +568,9 @@ def make_server(app: ViewerApp, port: int = 0, host: str = "127.0.0.1"):
                 elif path == "/graph":
                     body = json.dumps(app.graph_dict()).encode()
                     self._send(200, body, "application/json")
+                elif path == "/templates":
+                    self._send(200, json.dumps(app.templates()).encode(),
+                               "application/json")
                 elif path == "/state":
                     self._send(200, json.dumps(app.state()).encode(),
                                "application/json")
@@ -299,6 +591,10 @@ def make_server(app: ViewerApp, port: int = 0, host: str = "127.0.0.1"):
                 elif self.path == "/graph":
                     app.set_graph(data)
                     self._send(200, b"ok", "text/plain")
+                elif self.path == "/edit":
+                    out = app.edit(data)
+                    self._send(200, json.dumps(out).encode(),
+                               "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
             except Exception as e:  # bad graphs/events are client errors

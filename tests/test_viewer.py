@@ -171,3 +171,68 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req)
         assert e.value.code == 400
+
+    def test_templates_endpoint(self, server):
+        url, app = server
+        tpl = json.loads(urllib.request.urlopen(url + "/templates").read())
+        assert "Sphere" in tpl and "Root" in tpl and "SmoothUnion" in tpl
+        sphere = {s["name"]: s for s in tpl["Sphere"]}
+        assert sphere["radius"]["kind"] == "scalar"
+        assert sphere["center"]["kind"] == "vec3"
+        root = {s["name"]: s for s in tpl["Root"]}
+        assert root["SDF"]["kind"] == "sdf"
+
+    def test_edit_endpoint_builds_scene(self, server):
+        """The visual editor's op stream: create/connect/edit a scene
+        without ever POSTing JSON graphs (reference editor interactions,
+        csg_node_graph.rs:185-206)."""
+        url, app = server
+
+        def edit(op):
+            req = urllib.request.Request(
+                url + "/edit", data=json.dumps(op).encode()
+            )
+            return json.loads(urllib.request.urlopen(req).read())
+
+        png0 = urllib.request.urlopen(url + "/frame.png").read()
+        nid = edit({"op": "add", "template": "Sphere", "pos": [50, 60]})["id"]
+        edit({"op": "set_input", "id": nid, "name": "center",
+              "value": [0.0, 1.6, 0.0]})
+        edit({"op": "set_input", "id": nid, "name": "radius", "value": 0.6})
+        g = json.loads(urllib.request.urlopen(url + "/graph").read())
+        union = next(n for n in g["nodes"] if n["template"] == "Subtraction")
+        root = next(n for n in g["nodes"] if n["template"] == "Root")
+        u2 = edit({"op": "add", "template": "Union"})["id"]
+        edit({"op": "connect", "src": union["id"], "dst": u2, "input": "A"})
+        edit({"op": "connect", "src": nid, "dst": u2, "input": "B"})
+        edit({"op": "connect", "src": u2, "dst": root["id"], "input": "SDF"})
+        png1 = urllib.request.urlopen(url + "/frame.png").read()
+        assert png0 != png1  # the added sphere is visible
+
+        # positions persist and travel with the graph
+        edit({"op": "move", "id": nid, "pos": [123, 45]})
+        g2 = json.loads(urllib.request.urlopen(url + "/graph").read())
+        assert g2["pos"][str(nid)] == [123, 45]
+
+        # disconnect + remove restore the old image
+        edit({"op": "disconnect", "dst": root["id"], "input": "SDF"})
+        edit({"op": "connect", "src": union["id"], "dst": root["id"],
+              "input": "SDF"})
+        edit({"op": "remove", "id": u2})
+        edit({"op": "remove", "id": nid})
+        png2 = urllib.request.urlopen(url + "/frame.png").read()
+        assert png2 == png0
+
+    def test_bad_edit_returns_400(self, server):
+        url, app = server
+        for op in (
+            {"op": "frobnicate"},
+            {"op": "add", "template": "Blob"},
+            {"op": "connect", "src": 999, "dst": 998, "input": "A"},
+        ):
+            req = urllib.request.Request(
+                url + "/edit", data=json.dumps(op).encode()
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 400
