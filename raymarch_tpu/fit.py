@@ -5,11 +5,13 @@ fit primitive params to a target image via pixel-loss gradients". Wraps the
 distributed fit step (parallel.render.make_fit_step) with optimizer setup,
 parameter masking, and a simple loop with per-step logging.
 
-Limitations (documented, by design of the current gradient model): gradients
-are interior-only (implicit-function VJP at hit points + shading); silhouette
-coverage terms are not differentiated, so fits converge on shading/depth
-signal. Mask the fit to the parameters you mean to move — adaptive
-optimizers otherwise follow noise directions of untouched parameters.
+Gradient model: mode="implicit" (default) differentiates interior signal
+only (implicit-function VJP at hit points + shading); mode="soft" adds
+SILHOUETTE coverage gradients (ops.march.make_march_soft: closest-approach
+alpha with an envelope-theorem VJP), which is what translation-/pose-
+dominated fits need — see tests/test_soft_coverage.py. Either way, mask the
+fit to the parameters you mean to move — adaptive optimizers otherwise
+follow noise directions of untouched parameters.
 """
 
 from __future__ import annotations
