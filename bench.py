@@ -160,6 +160,36 @@ def main():
         file=sys.stderr,
     )
 
+    # BASELINE config 5 at full 4K on the single chip, rendered as 3 row
+    # bands of 720 (the row-sharded multi-chip structure; also keeps the
+    # per-kernel grid small enough for SMEM — Mosaic's scoped SMEM grows
+    # with grid-step count and a monolithic 4K cull grid exceeds the 1 MB
+    # budget by ~4%).
+    rnd4k = make_pallas_image_render_aa(
+        spec64, cfg64, 3840, 2160, prepass_block=1, n_intervals=2,
+        band_rows=720,
+    )
+    offs = [
+        jnp.asarray(
+            np.concatenate(
+                [cam64.position, cam64.rotation, [float(r)]]
+            ).astype(np.float32)
+        )
+        for r in (0, 720, 1440)
+    ]
+
+    def frame4k(a, cvs):
+        return sum(jnp.sum(rnd4k(a, cv)) for cv in cvs)
+
+    f4k = jax.jit(frame4k)
+    dt_4k, _ = timeit(f4k, arrays64, offs, frames=5, reps=2)
+    n4k = 3840 * 2160 * cfg.aa_samples**2
+    print(
+        f"64-primitive 4K render (BASELINE config 5, 1 chip, 3 bands): "
+        f"{dt_4k*1e3:.2f} ms/frame, {n4k/dt_4k/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
     # --- secondary: plain fused kernel (strict per-AA-ray march) ------------
     from raymarch_tpu.ops.pallas_march import make_pallas_image_render
 

@@ -82,7 +82,10 @@ class ViewerApp:
             on_tpu = any(d.platform != "cpu" for d in jax.devices())
             backend = "pallas_prepass" if on_tpu else "jnp"
         self.backend = backend
-        self.static = static or backend in ("pallas_prepass", "pallas_full")
+        # Dynamic tape by default, like the reference: EVERY edit (including
+        # topology and materials) is a pure buffer swap with zero recompiles.
+        # static=True trades topology-edit recompiles for ~2x frame rate.
+        self.static = static
         self.graph = graph if graph is not None else default_graph()
         self.camera = OrbitCameraController(target=(0.0, 0.0, 0.0), radius=4.5)
         self.camera.orbit(0.0, 35.0)  # start slightly above the horizon
