@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from . import opcodes as oc
 from .tape import TapeArrays, TapeSpec
+from .culling import make_cull_reader
 from .pallas_march import (
     LANES,
     _leaf_static_rows,
@@ -142,14 +143,14 @@ def make_fused_render_vjp(
         prepass_block=prepass_block, band_rows=band_rows,
     )
 
-    def _scene_tile(rows_view, opp, px, py, pz):
+    def _scene_tile(rows_view, opp, px, py, pz, cull=None):
         def leaf_fn(row):
             t, rot = row_types[row]
             return _leaf_distance_tile(rows_view, row, t, rot, px, py, pz)
 
-        return _apply_static_tape(spec, opp, leaf_fn, cfg.max_dist, px)
+        return _apply_static_tape(spec, opp, leaf_fn, cfg.max_dist, px, cull=cull)
 
-    def _albedo_tile(rows_view, opp, px, py, pz):
+    def _albedo_tile(rows_view, opp, px, py, pz, cull=None):
         if not spec.has_materials:
             return ax_, ay_, az_
 
@@ -163,7 +164,7 @@ def make_fused_render_vjp(
             return d, (r, g, b)
 
         _, rgb = _apply_static_tape_color(
-            spec, opp, leaf_fn, cfg.max_dist, px, (ax_, ay_, az_)
+            spec, opp, leaf_fn, cfg.max_dist, px, (ax_, ay_, az_), cull=cull
         )
         return rgb
 
@@ -186,8 +187,17 @@ def make_fused_render_vjp(
         oz = jnp.zeros_like(dz) + cam[2]
         return ox, oy, oz, dx, dy, dz
 
+    # Per-tile cull gates inside the backward kernel were implemented and
+    # MEASURED SLOWER (64-leaf 1080p fwd+bwd: 189 -> 255 ms): `jax.grad`
+    # through the hierarchical `lax.cond` gates pays cond-transpose
+    # machinery per gate per scene eval inside the in-kernel grad graph,
+    # which costs more than the leaf-gradient work it skips. The backward
+    # stays ungated; cfg.leaf_cull still accelerates the FORWARD pass of
+    # the fused VJP (the residual-emitting fine kernel).
+    cull_reader = make_cull_reader(spec, n_tx, False)
+
     def bwd_kernel(
-        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref,
+        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, cull_ref,
         tm_ref, hm_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
     ):
         # 2D image-block layout, mirroring the forward fine kernel (see
@@ -236,9 +246,13 @@ def make_fused_render_vjp(
 
         rows_p, opp_p, cam_p = views(scal)
         ox, oy, oz, dx, dy, dz = _raygen(cam_p, x, y)
+        # Per-tile cull gates (exact: culled leaves cannot influence any hit
+        # or tap in this tile, so their parameter gradients are exactly zero
+        # — the gated subtrees contribute FAR constants whose grad is 0).
+        cull = cull_reader(cull_ref, ty, tx)
 
         def scene_p(px, py, pz):
-            return _scene_tile(rows_p, opp_p, px, py, pz)
+            return _scene_tile(rows_p, opp_p, px, py, pz, cull=cull)
 
         # Forward-march residuals (bitwise the fwd kernel's values).
         t = tm_ref[:]
@@ -257,7 +271,7 @@ def make_fused_render_vjp(
             pz = o1z + d1z * tt * hit
 
             def scene(qx, qy, qz):
-                return _scene_tile(rows, opp, qx, qy, qz)
+                return _scene_tile(rows, opp, qx, qy, qz, cull=cull)
 
             nx = d1x * 0.0
             ny = nx
@@ -279,7 +293,7 @@ def make_fused_render_vjp(
             linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
             diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
             diff = jnp.maximum(diff, cfg.ambient)
-            mar, mag, mab = _albedo_tile(rows, opp, px, py, pz)
+            mar, mag, mab = _albedo_tile(rows, opp, px, py, pz, cull=cull)
 
             dy_abs_ok = jnp.where(jnp.abs(d1y) > 1e-8, 1.0, 0.0)
             dy_safe = jnp.where(jnp.abs(d1y) > 1e-8, d1y, 1e-8)
@@ -323,7 +337,7 @@ def make_fused_render_vjp(
                 qx = o1x + d1x * t * hit
                 qy = o1y + d1y * t * hit
                 qz = o1z + d1z * t * hit
-                return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz))
+                return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz, cull=cull))
 
             gscal2 = jax.grad(implicit_loss)(scal)
             flat1 = jax.tree_util.tree_leaves(gscal1)
@@ -387,8 +401,12 @@ def make_fused_render_vjp(
             (bm, LANES), lambda ty, tx, s, *_: (ty * S + s, tx),
             memory_space=pltpu.VMEM,
         )
+        # Backward gates disabled (see cull_reader note above); keep the
+        # mask operand slot so re-enabling is a two-line change.
+        mask = jnp.zeros((1, 1), jnp.int32)
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(n_ty, n_tx, S),
             in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -406,6 +424,7 @@ def make_fused_render_vjp(
             jnp.asarray(opp, jnp.float32),
             jnp.asarray(lp, jnp.float32),
             jnp.asarray(cam_vec, jnp.float32),
+            mask,
             t_all,
             hit_all,
             gr,
