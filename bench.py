@@ -190,24 +190,27 @@ def main():
         file=sys.stderr,
     )
 
-    # --- secondary: plain fused kernel (strict per-AA-ray march) ------------
-    from raymarch_tpu.ops.pallas_march import make_pallas_image_render
-
-    rgb = make_pallas_image_render(spec_s, cfg, WIDTH, HEIGHT)
-    fused = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb(a, c)])
+    # --- secondary: per-AA-ray march (no prepass; bound accel + K=4) --------
+    rnd_np = make_pallas_image_render_aa(spec_s, cfg, WIDTH, HEIGHT, no_prepass=True)
+    fused = jax.jit(lambda a, c: jnp.sum(rnd_np(a, c)))
     dt_fused, _ = timeit(fused, arrays_s, cam_vec)
     print(
-        f"plain fused render (per-AA-ray march): {dt_fused*1e3:.2f} ms/frame, "
+        f"per-AA-ray march render (no prepass): {dt_fused*1e3:.2f} ms/frame, "
         f"{n_rays/dt_fused/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
 
-    # --- secondary: reference march semantics (no accel at all) -------------
-    rgb_na = make_pallas_image_render(spec_s, cfg0, WIDTH, HEIGHT)
-    fused_na = jax.jit(lambda a, c: [jnp.sum(x) for x in rgb_na(a, c)])
+    # --- secondary: STRICT reference march semantics (no accel at all) ------
+    # Every AA ray sphere-traces from t=0, plain steps, per-step exit check,
+    # no bound/cone/interval/relax/cull — exactly wgsl:87-115. The 2D image-
+    # rectangle tiling + in-kernel AA mean + hit-gated normals are pure
+    # scheduling choices (identical math), so this is the honest
+    # apples-to-apples number for the reference's own cost model.
+    rnd_na = make_pallas_image_render_aa(spec_s, cfg0, WIDTH, HEIGHT, no_prepass=True)
+    fused_na = jax.jit(lambda a, c: jnp.sum(rnd_na(a, c)))
     dt_na, _ = timeit(fused_na, arrays_s, cam_vec)
     print(
-        f"plain fused render (no accel): {dt_na*1e3:.2f} ms/frame, "
+        f"strict-reference-semantics render (no accel): {dt_na*1e3:.2f} ms/frame, "
         f"{n_rays/dt_na/1e9:.3f} Grays/s",
         file=sys.stderr,
     )

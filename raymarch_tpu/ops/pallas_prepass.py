@@ -421,13 +421,18 @@ def _fine_march_tile(scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg):
         k, _, live, _ = state
         return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
 
+    K = max(1, int(cfg.exit_check_every))
+
     def step(state):
         k, t, live, hit = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
         d = scene(px, py, pz)
-        act = jnp.where(k < cfg.max_iter, live, live * 0.0)
+        # With K == 1 the while cond already guarantees k < max_iter, so the
+        # budget guard (two vector ops/step) is only needed when the inner
+        # K-block can overrun it.
+        act = live if K == 1 else jnp.where(k < cfg.max_iter, live, live * 0.0)
         hit_now = jnp.where(d < cfg.min_dist, act, 0.0)
         escaped = jnp.where(jnp.logical_or(d > cfg.max_dist, t > t_cap), act, 0.0)
         escaped = escaped - escaped * hit_now
@@ -435,7 +440,6 @@ def _fine_march_tile(scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg):
         t2 = t + d * advance
         return (k + 1, t2, live - hit_now - escaped, hit + hit_now)
 
-    K = max(1, int(cfg.exit_check_every))
     if K == 1:
         body = step
     else:
@@ -460,12 +464,21 @@ def make_pallas_image_render_aa(
     band_rows: int | None = None,
     prepass_chain: bool = False,
     n_intervals: int = 0,
+    no_prepass: bool = False,
     _dbg_skip_taps: bool = False,
     _dbg_skip_march: bool = False,
 ):
     """Fused forward renderer with the cone-tracing AA prepass:
     fn(arrays, cam_vec f32[8]=(pos3, quat4, row_offset)) -> image
     f32[band_rows or H, W, 3].
+
+    `no_prepass=True` drops the coarse pass entirely: every AA ray sphere-
+    traces from t=0, which is the reference's exact march semantics
+    (wgsl:87-115) — no cone conservatism anywhere. The 2D image-rectangle
+    tiling, in-kernel AA accumulation, and hit-gated shading are pure
+    scheduling/layout choices with identical math, so this is the honest
+    "no acceleration" benchmark path (and it is still ~35% faster than the
+    flat-layout `make_pallas_image_render` at 1080p).
 
     `n_intervals` > 0 switches the prepass to NEAR-INTERVAL recording
     (_cone_interval_march_tile): the coarse ray scans the whole scene once,
@@ -492,8 +505,13 @@ def make_pallas_image_render_aa(
     NI = max(0, int(n_intervals))
     if NI and prepass_chain:
         raise ValueError("prepass_chain is a legacy-prepass feature")
-    # Prepass output planes: legacy (t0, status) or NI (start, end) pairs.
-    n_pre = 2 * NI if NI else 2
+    if no_prepass and (NI or prepass_chain):
+        raise ValueError("no_prepass excludes interval/chained prepasses")
+    # Prepass output planes: legacy (t0, status), NI (start, end) pairs, or
+    # none at all (`no_prepass`: every AA ray marches from t=0 — the strict
+    # reference semantics of wgsl:87-115, kept on the 2D-tiled fine kernel
+    # with in-kernel AA accumulation and hit-gated normals).
+    n_pre = 0 if no_prepass else (2 * NI if NI else 2)
     bm_coarse = _auto_bm(spec, bm_coarse, BM_COARSE * 2)
     bm_fine = _auto_bm(spec, bm_fine, BM_FINE)
     leaf_rows = _leaf_static_rows(spec)
@@ -705,6 +723,9 @@ def make_pallas_image_render_aa(
             x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0
             y = 1.0 - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height
             cull = cull_fine(cullf_ref, ty, tx)
+            valid_px = jnp.where(
+                jnp.logical_and(ii < rows_out, jj < width), 1.0, 0.0
+            )
         else:
             cull = None  # flat tiles span image rows: no useful cone
             pid = pl.program_id(0)
@@ -716,6 +737,7 @@ def make_pallas_image_render_aa(
                 + jax.lax.broadcasted_iota(jnp.int32, (bm_fine, LANES), 1)
             )
             x, y = _pixel_xy(lin, cam_ref[7])
+            valid_px = jnp.where(lin < hw, 1.0, 0.0)
         # Sub-pixel offset for sample s (scalar; s = a*naa + b as in raygen).
         a = s // naa
         b = s - a * naa
@@ -734,7 +756,12 @@ def make_pallas_image_render_aa(
                 px, py, pz, cull=cull,
             )
 
-        if NI:
+        if no_prepass:
+            # Strict reference semantics: every (in-image) AA ray sphere-
+            # traces from t=0 (wgsl:90); no prepass planes exist.
+            t0 = dx * 0.0
+            live0 = valid_px
+        elif NI:
             starts = [pre_refs[j][:] for j in range(NI)]
             ends = [pre_refs[NI + j][:] for j in range(NI)]
             live0 = jnp.where(starts[0] < 9.0e37, dx * 0.0 + 1.0, 0.0)
@@ -800,7 +827,50 @@ def make_pallas_image_render_aa(
             px = ox + dx * t * hit
             py = oy + dy * t * hit
             pz = oz + dz * t * hit
-            if not share_normals:
+            if no_prepass and not share_normals:
+                # Hit-gated surface shading: tiles whose every ray missed
+                # (escaped or exhausted the budget) skip the 4 normal taps
+                # and the material eval entirely — without a prepass that is
+                # most sky/floor tiles. With a prepass the any_near gate has
+                # already filtered those tiles and the extra in-tile
+                # reduction measurably costs more than it saves (~4% at
+                # 1080p), so the gate is no-prepass-only. Miss lanes only
+                # ever read hit * (mar * diff) = 0, so the shortcut is
+                # structurally exact.
+                def shade_hit():
+                    nx, ny, nz = _normal_taps(px, py, pz)
+                    ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+                    tlx = px - lx_
+                    tly = py - ly_
+                    tlz = pz - lz_
+                    linv = jax.lax.rsqrt(
+                        tlx * tlx + tly * tly + tlz * tlz + 1e-20
+                    )
+                    diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+                    diff = jnp.maximum(diff, cfg.ambient)
+                    if color_eval is not None:
+                        _, mar, mag, mab = color_eval(
+                            lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                            px, py, pz, cull=cull,
+                        )
+                        mar = dx * 0.0 + mar
+                        mag = dx * 0.0 + mag
+                        mab = dx * 0.0 + mab
+                    else:
+                        mar = dx * 0.0 + ax_
+                        mag = dx * 0.0 + ay_
+                        mab = dx * 0.0 + az_
+                    return diff, mar, mag, mab
+
+                def shade_miss():
+                    z = dx * 0.0
+                    return z, z + ax_, z + ay_, z + az_
+
+                diff, mar, mag, mab = jax.lax.cond(
+                    jnp.max(hit) > 0.0, shade_hit, shade_miss
+                )
+                return t, hit, diff, mar, mag, mab
+            elif not share_normals:
                 nx, ny, nz = _normal_taps(px, py, pz)
             else:
                 # First sample to hit a lane computes the 4-tap normal at its
@@ -1078,7 +1148,8 @@ def make_pallas_image_render_aa(
 
     def render(arrays: TapeArrays, cam_vec):
         scene_args = _scene_args(arrays, cam_vec)
-        return run_fine(scene_args, run_coarse(scene_args))
+        pre = [] if no_prepass else run_coarse(scene_args)
+        return run_fine(scene_args, pre)
 
     # Exposed for instrumentation / custom pipelines. `pre` is the prepass
     # plane list: [t0, status] (legacy) or NI (start, end) pairs.

@@ -167,6 +167,47 @@ class TestPrepassRender:
         img = np.asarray(rnd(arrays, _cam_vec(CAM)))
         _assert_images_close(img, ref)
 
+    def test_no_prepass_strict_semantics(self, static_compiled):
+        # no_prepass: every AA ray marches from t=0 with plain steps — the
+        # reference's exact semantics on the 2D-tiled fine kernel. Images
+        # must match the flat plain kernel to fp-reassociation tolerance
+        # (hits bitwise identical; the diffuse dot product and the AA mean
+        # accumulate in different fp orders).
+        spec, arrays = static_compiled
+        cfg = dataclasses.replace(CFG, bound_accel=False)
+        W, H = 65, 47
+        ref = _reference_image(spec, arrays, cfg, W, H)
+        rnd = make_pallas_image_render_aa(
+            spec, cfg, W, H, interpret=True, bm_fine=8, no_prepass=True
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        assert img.shape == (H, W, 3)
+        d = np.abs(img - ref)
+        assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+    def test_no_prepass_dynamic_tape_and_materials(self):
+        scene = (
+            rm.sphere(center=(-0.6, 0, 0), radius=0.9, material=(0.9, 0.2, 0.1))
+            | rm.box(center=(0.8, 0, 0), half_extents=(0.5, 0.5, 0.5))
+        )
+        cfg = dataclasses.replace(CFG, bound_accel=False)
+        W, H = 48, 32
+        for static in (True, False):
+            spec, arrays = rm.compile_scene(scene, static=static)
+            ref = _reference_image(spec, arrays, cfg, W, H)
+            rnd = make_pallas_image_render_aa(
+                spec, cfg, W, H, interpret=True, bm_fine=8, no_prepass=True
+            )
+            img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+            assert np.abs(img - ref).max() < 1e-3, static
+
+    def test_no_prepass_rejects_intervals(self, static_compiled):
+        spec, _ = static_compiled
+        with pytest.raises(ValueError):
+            make_pallas_image_render_aa(
+                spec, CFG, 32, 32, no_prepass=True, n_intervals=2
+            )
+
     def test_aa_shared_normals(self, static_compiled):
         # cfg.aa_shared_normals reuses the first hitting sample's 4-tap
         # normal for the pixel's other AA samples. Approximate by design:
