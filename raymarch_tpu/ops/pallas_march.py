@@ -219,22 +219,9 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
         leaf_fns = [leaf_closure(r, t, ro) for r, t, ro in rows_sorted]
 
         far = px * 0.0 + cfg.max_dist
-        stack0 = tuple(far for _ in range(sd + 1))
+        stack = [far for _ in range(sd + 1)]
 
-        # The encoder pads the bucketed tape with TRAILING NOPs (ops.tape),
-        # so the interpreter loops to the runtime instruction count instead
-        # of the bucket capacity: a 5-instruction scene in an 8-bucket pays
-        # 5 dispatches, not 8. The count is a handful of scalar SMEM reads,
-        # recomputed per scene eval (bounded by n_instr <= 32ish; the march
-        # loop's vector work dwarfs it). One loop body also compiles ~T x
-        # smaller/faster than the previous full unroll.
-        n_real = jnp.int32(0)
-        for i in range(spec.n_instr):
-            n_real = jnp.maximum(
-                n_real, jnp.where(ops_ref[i] != oc.COP_NOP, i + 1, 0)
-            )
-
-        def body(k, stack):
+        for k in range(spec.n_instr):
             op = ops_ref[k]
             arg = arg_ref[k]
             slot = slot_ref[k]
@@ -266,11 +253,8 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
                     lambda: jnp.abs(a) - kp,
                 ],
             )
-            return tuple(
-                jnp.where(slot == i, val, stack[i]) for i in range(sd)
-            ) + stack[sd:]
-
-        stack = jax.lax.fori_loop(0, n_real, body, stack0)
+            for i in range(sd):
+                stack[i] = jnp.where(slot == i, val, stack[i])
         return stack[0]
 
     return scene_eval
