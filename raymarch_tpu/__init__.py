@@ -22,6 +22,7 @@ from .ops.tape import TapeArrays, TapeSpec, compile_scene, compile_wire, encode_
 from .utils.camera import Camera, OrbitCameraController
 from .viewer import ViewerApp
 from .utils.stats import MarchStats, march_stats
+from .runtime import TieredRenderer
 
 __version__ = "0.1.0"
 
@@ -58,4 +59,5 @@ __all__ = [
     "Camera",
     "OrbitCameraController",
     "ViewerApp",
+    "TieredRenderer",
 ]

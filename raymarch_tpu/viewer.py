@@ -71,6 +71,7 @@ class ViewerApp:
         cfg: Optional[RenderConfig] = None,
         backend: Optional[str] = None,
         static: bool = False,
+        tiered: Optional[bool] = None,
     ):
         import jax
 
@@ -86,6 +87,21 @@ class ViewerApp:
         # topology and materials) is a pure buffer swap with zero recompiles.
         # static=True trades topology-edit recompiles for ~2x frame rate.
         self.static = static
+        # Tiered execution (runtime.TieredRenderer): frames are served by
+        # the dynamic tier the instant a topology changes while the static
+        # program compiles in the background, then switch over — reference
+        # editing latency AND static throughput. Default on for the
+        # accelerator backends (where the tiers differ ~2x); the jnp
+        # backend keeps the single-tier path.
+        if tiered is None:
+            tiered = backend.startswith("pallas") and not static
+        self._tiered = None
+        if tiered:
+            from .runtime import TieredRenderer
+
+            self._tiered = TieredRenderer(
+                width, height, self.cfg, backend=backend
+            )
         self.graph = graph if graph is not None else default_graph()
         self.camera = OrbitCameraController(target=(0.0, 0.0, 0.0), radius=4.5)
         self.camera.orbit(0.0, 35.0)  # start slightly above the horizon
@@ -230,6 +246,11 @@ class ViewerApp:
         """edit-aware render: evaluate_root -> tape swap -> render."""
         with self._lock:
             scene = self.graph.evaluate_root()  # None => background only
+            if self._tiered is not None:
+                out = self._tiered.render(scene, self.camera.camera())
+                self.compiles = self._tiered.static_compiles
+                self.frames_rendered += 1
+                return out
             spec, arrays = compile_scene(scene, static=self.static)
             img = self._renderer_for(spec)(arrays, self.camera.camera())
             out = np.asarray(img)
@@ -250,6 +271,7 @@ class ViewerApp:
             "size": [self.width, self.height],
             "frames": self.frames_rendered,
             "compiles": self.compiles,
+            "tier": self._tiered.tier if self._tiered is not None else "single",
         }
 
 
