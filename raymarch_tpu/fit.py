@@ -55,6 +55,11 @@ def fit_scene(
     backend: str = "jnp",
     log_every: int = 0,
     log_fn: Callable[[str], None] = print,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 25,
+    resume: bool = True,
+    stall_timeout: Optional[float] = None,
+    stall_exit_code: Optional[int] = None,
 ) -> FitResult:
     """Gradient-descend scene parameters toward a target image.
 
@@ -62,6 +67,15 @@ def fit_scene(
     trainable) restrict the fit; None trains everything of that group.
     `mesh=None` builds a mesh over all visible devices (single device = a
     1-mesh; the same code path scales to a pod slice).
+
+    Elastic recovery (parallel.elastic): `checkpoint_dir` writes an atomic
+    checkpoint of the full fit state every `checkpoint_every` steps; with
+    `resume` (default) a restarted job continues from the latest one —
+    crash/preemption costs at most `checkpoint_every` steps of work.
+    `stall_timeout` arms a Watchdog on step progress: a step wedged longer
+    than that (the signature of a dead peer blocking a collective) fires a
+    loud report, and `stall_exit_code` upgrades it to a hard exit so a
+    supervisor can relaunch the job into the resume path.
     """
     import jax
     import jax.numpy as jnp
@@ -99,14 +113,49 @@ def fit_scene(
     target = jnp.asarray(target, jnp.float32)
 
     losses = []
-    t0 = time.perf_counter()
+    start = 0
     a, cam = arrays, camera
-    for i in range(steps):
-        a, cam, opt_state, loss = jstep(a, cam, opt_state, target)
-        losses.append(float(loss))
-        if log_every and (i % log_every == 0 or i == steps - 1):
-            log_fn(f"fit step {i:4d}: loss {losses[-1]:.6f}")
+    ckpt = None
+    if checkpoint_dir is not None:
+        from .parallel.elastic import FitCheckpointer
+
+        ckpt = FitCheckpointer(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore(spec, opt_state)
+            if restored is not None:
+                start, a, cam, opt_state, losses = restored
+                log_fn(f"fit: resumed from checkpoint at step {start}")
+
+    from .parallel.elastic import Watchdog
+
+    watchdog = (
+        Watchdog(stall_timeout, exit_code=stall_exit_code)
+        if stall_timeout is not None
+        else None
+    )
+
+    def _loop():
+        nonlocal a, cam, opt_state
+        for i in range(start, steps):
+            a, cam, opt_state, loss = jstep(a, cam, opt_state, target)
+            losses.append(float(loss))  # device sync: the step completed
+            if watchdog is not None:
+                watchdog.beat()
+            if log_every and (i % log_every == 0 or i == steps - 1):
+                log_fn(f"fit step {i:4d}: loss {losses[-1]:.6f}")
+            if ckpt is not None and (
+                (i + 1) % max(1, checkpoint_every) == 0 or i == steps - 1
+            ):
+                ckpt.save(i + 1, spec, a, cam, opt_state, losses)
+
+    t0 = time.perf_counter()
+    if watchdog is not None:
+        with watchdog:
+            _loop()
+    else:
+        _loop()
     elapsed = time.perf_counter() - t0
+    done = max(steps - start, 1)
     return FitResult(
-        arrays=a, camera=cam, losses=losses, steps_per_sec=steps / max(elapsed, 1e-9)
+        arrays=a, camera=cam, losses=losses, steps_per_sec=done / max(elapsed, 1e-9)
     )

@@ -1,3 +1,4 @@
+from .elastic import FitCheckpointer, Watchdog
 from .mesh import RAY_AXIS, initialize_multihost, make_mesh
 from .render import make_fit_step, make_sharded_renderer
 
@@ -7,4 +8,6 @@ __all__ = [
     "make_mesh",
     "make_fit_step",
     "make_sharded_renderer",
+    "FitCheckpointer",
+    "Watchdog",
 ]

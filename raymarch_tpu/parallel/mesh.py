@@ -40,19 +40,46 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    retries: int = 3,
+    retry_delay: float = 5.0,
+    initialization_timeout: Optional[float] = None,
 ) -> None:
     """Initialize cross-host JAX. On TPU pods with standard env vars every
     argument is auto-detected; arguments are for manual/CPU bring-up.
 
     Safe to call when already initialized (no-op) or single-process
     (RuntimeError from JAX is swallowed only for the no-cluster case).
+
+    `retries`/`retry_delay` cover the common elastic-restart race: after a
+    job relaunch the coordinator process may come up seconds after its
+    workers, so worker-side handshake failures retry with a delay before
+    surfacing. `initialization_timeout` (seconds) bounds each attempt where
+    the installed JAX version supports it.
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError) as e:  # already initialized / no cluster
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
-            raise
+    kwargs = {}
+    if initialization_timeout is not None:
+        import inspect
+
+        sig = inspect.signature(jax.distributed.initialize)
+        if "initialization_timeout" in sig.parameters:
+            kwargs["initialization_timeout"] = int(initialization_timeout)
+    last = None
+    for attempt in range(max(1, retries)):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+            return
+        except (RuntimeError, ValueError) as e:
+            msg = str(e).lower()
+            if "already" in msg or num_processes in (None, 1):
+                return  # already initialized / no cluster to join
+            last = e
+            if attempt + 1 < max(1, retries):
+                import time
+
+                time.sleep(retry_delay)
+    raise last
