@@ -242,6 +242,16 @@ class ViewerApp:
             self.compiles += 1
         return rnd
 
+    def prewarm(self) -> threading.Thread:
+        """Start compiling the current scene's renderer(s) on a background
+        thread so the first browser request doesn't pay the XLA compile
+        (minutes on a remote-compile tunnel). With tiered execution this
+        warms the dynamic tier AND kicks the static compile; `frame()`
+        serializes behind the app lock either way. Returns the thread."""
+        t = threading.Thread(target=self.frame, daemon=True, name="viewer-prewarm")
+        t.start()
+        return t
+
     def frame(self) -> np.ndarray:
         """edit-aware render: evaluate_root -> tape swap -> render."""
         with self._lock:
@@ -656,6 +666,7 @@ def main(argv=None):
     elif args.aa is not None:
         cfg = RenderConfig(aa_samples=args.aa)
     app = ViewerApp(width=w, height=h, cfg=cfg, backend=args.backend)
+    app.prewarm()  # compile while the user opens the browser
     serve(app, port=args.port)
 
 
