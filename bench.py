@@ -96,7 +96,9 @@ def main():
     spec_s, arrays_s = rm.compile_scene(scene, static=True)
     from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
 
-    rnd = make_pallas_image_render_aa(spec_s, cfg, WIDTH, HEIGHT, prepass_block=1)
+    rnd = make_pallas_image_render_aa(
+        spec_s, cfg, WIDTH, HEIGHT, prepass_block=1, aa_packed=True
+    )
     cam_vec = jnp.asarray(
         np.concatenate([cam.position, cam.rotation, [0.0]]).astype(np.float32)
     )
@@ -118,7 +120,8 @@ def main():
     # (same conservative tolerance class; see ops.pallas_prepass docstrings)
     cfg_ir = _dc.replace(cfg, relax=1.6)
     rnd_ir = make_pallas_image_render_aa(
-        spec_s, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+        spec_s, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
     )
     fast = jax.jit(lambda a, c: jnp.sum(rnd_ir(a, c)))
     dt_ir, _ = timeit(fast, arrays_s, cam_vec)
@@ -150,7 +153,8 @@ def main():
     )
     cfg64 = _dc.replace(cfg, relax=1.6, leaf_cull=True)
     rnd64 = make_pallas_image_render_aa(
-        spec64, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+        spec64, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
     )
     f64 = jax.jit(lambda a, c: jnp.sum(rnd64(a, c)))
     dt_64, _ = timeit(f64, arrays64, cam64_vec)
@@ -167,7 +171,7 @@ def main():
     # budget by ~4%).
     rnd4k = make_pallas_image_render_aa(
         spec64, cfg64, 3840, 2160, prepass_block=1, n_intervals=2,
-        band_rows=720,
+        band_rows=720, aa_packed=True,
     )
     offs = [
         jnp.asarray(
@@ -191,7 +195,9 @@ def main():
     )
 
     # --- secondary: per-AA-ray march (no prepass; bound accel + K=4) --------
-    rnd_np = make_pallas_image_render_aa(spec_s, cfg, WIDTH, HEIGHT, no_prepass=True)
+    rnd_np = make_pallas_image_render_aa(
+        spec_s, cfg, WIDTH, HEIGHT, no_prepass=True, aa_packed=True
+    )
     fused = jax.jit(lambda a, c: jnp.sum(rnd_np(a, c)))
     dt_fused, _ = timeit(fused, arrays_s, cam_vec)
     print(
@@ -206,7 +212,9 @@ def main():
     # rectangle tiling + in-kernel AA mean + hit-gated normals are pure
     # scheduling choices (identical math), so this is the honest
     # apples-to-apples number for the reference's own cost model.
-    rnd_na = make_pallas_image_render_aa(spec_s, cfg0, WIDTH, HEIGHT, no_prepass=True)
+    rnd_na = make_pallas_image_render_aa(
+        spec_s, cfg0, WIDTH, HEIGHT, no_prepass=True, aa_packed=True
+    )
     fused_na = jax.jit(lambda a, c: jnp.sum(rnd_na(a, c)))
     dt_na, _ = timeit(fused_na, arrays_s, cam_vec)
     print(
@@ -220,7 +228,8 @@ def main():
     # than the static tape (every skipped fine eval is ~2x costlier there).
     spec_d, arrays_d = rm.compile_scene(scene)
     rnd_d = make_pallas_image_render_aa(
-        spec_d, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+        spec_d, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
     )
     fused_d = jax.jit(lambda a, c: jnp.sum(rnd_d(a, c)))
     dt_dyn, _ = timeit(fused_d, arrays_d, cam_vec)

@@ -444,7 +444,8 @@ def make_renderer(
         from .pallas_prepass import make_pallas_image_render_aa
 
         rp = make_pallas_image_render_aa(
-            spec, cfg, width, height, prepass_block=1, interpret=interpret
+            spec, cfg, width, height, prepass_block=1, interpret=interpret,
+            aa_packed=not cfg.aa_shared_normals,
         )
 
         def render_prepass(arrays: TapeArrays, camera):

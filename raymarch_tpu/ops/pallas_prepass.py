@@ -465,6 +465,7 @@ def make_pallas_image_render_aa(
     prepass_chain: bool = False,
     n_intervals: int = 0,
     no_prepass: bool = False,
+    aa_packed: bool = False,
     _dbg_skip_taps: bool = False,
     _dbg_skip_march: bool = False,
 ):
@@ -479,6 +480,17 @@ def make_pallas_image_render_aa(
     scheduling/layout choices with identical math, so this is the honest
     "no acceleration" benchmark path (and it is still ~35% faster than the
     flat-layout `make_pallas_image_render` at 1080p).
+
+    `aa_packed=True` switches the fine pass to the AA-PACKED tile layout:
+    one kernel invocation owns ALL S = aa^2 samples of an (128/S)-pixel-row
+    x 128-pixel-col strip (sublane u = pixel_row*S + sample), instead of a
+    128x128-pixel rectangle of a single sample. The tile-synchronous march
+    is bounded by the worst ray in the tile, and a 16x-smaller spatial
+    footprint is far more depth-coherent than a 16x-larger one re-walked
+    once per sample — measured ~2x on the march-bound no-prepass paths.
+    The AA mean reduces in-kernel over the sample sub-axis (single output
+    visit per tile). Incompatible with `aa_shared_normals` and the
+    residual-emitting VJP forward (those keep the per-sample grid).
 
     `n_intervals` > 0 switches the prepass to NEAR-INTERVAL recording
     (_cone_interval_march_tile): the coarse ray scans the whole scene once,
@@ -577,6 +589,26 @@ def make_pallas_image_render_aa(
     n_fty, n_ftx = Hp // bm_fine, Wp // LANES
     cull_coarse = make_cull_reader(spec, n_ctx, cfg.leaf_cull)
     cull_fine = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
+
+    # AA-packed fine layout: sublane u = pixel_row * S + sample, so one
+    # 128-sublane tile owns all S samples of an aa_pack-row pixel strip.
+    TS = 128
+    if aa_packed:
+        if TS % S:
+            raise ValueError("aa_packed needs aa_samples^2 dividing 128")
+        if cfg.aa_shared_normals:
+            raise ValueError("aa_packed excludes aa_shared_normals")
+    aa_pack = max(1, TS // S)
+    n_pty = (rows_out + aa_pack - 1) // aa_pack
+    Hp_pack = n_pty * aa_pack
+    # Cull masks for the packed grid stay at >=64-pixel-row granularity:
+    # Mosaic's scoped SMEM charges each prefetched mask ROW per grid step,
+    # so per-strip masks at 1080p (2025 rows) blow the 1MB SMEM budget
+    # (measured); 64-row super-tiles keep the row count at the bm=64 level
+    # with the same tightness the unpacked kernel has.
+    MH = 64
+    n_mty = (Hp_pack + MH - 1) // MH
+    cull_packed = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
 
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
@@ -979,10 +1011,18 @@ def make_pallas_image_render_aa(
             bounds, cam_vec, cfg, width, height, n_cty, n_ctx,
             float(bm_coarse * bs), float(LANES * bs), extra_angle=omega,
         )
-        mask_f = tile_leaf_masks(
-            bounds, cam_vec, cfg, width, height, n_fty, n_ftx,
-            float(bm_fine), float(LANES),
-        )
+        if aa_packed:
+            # Packed fine grid: masks at MH-pixel-row super-tiles (SMEM
+            # scales with mask ROW count; see the geometry block).
+            mask_f = tile_leaf_masks(
+                bounds, cam_vec, cfg, width, height, n_mty, n_ftx,
+                float(MH), float(LANES),
+            )
+        else:
+            mask_f = tile_leaf_masks(
+                bounds, cam_vec, cfg, width, height, n_fty, n_ftx,
+                float(bm_fine), float(LANES),
+            )
         return mask_c, mask_f
 
     def _scene_args(arrays: TapeArrays, cam_vec):
@@ -1146,22 +1186,231 @@ def make_pallas_image_render_aa(
             return img, th[0], th[1]
         return img
 
+    # ------------- AA-packed fine kernel --------------------------------
+    # One invocation owns ALL S samples of an aa_pack-pixel-row strip:
+    # sublane u = local_pixel_row * S + sample. See the builder docstring.
+    def fine_packed_kernel(
+        ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
+        cullc_ref, cullf_ref, *rest,
+    ):
+        pre_refs = rest[:n_pre]
+        r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
+        py = u // S
+        s = u - py * S
+        ii = ty * aa_pack + py
+        jj = tx * LANES + jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 1)
+        a = s // naa
+        b = s - a * naa
+        fa = (a.astype(jnp.float32) + 0.5) / naa - 0.5
+        fb = (b.astype(jnp.float32) + 0.5) / naa - 0.5
+        x = (
+            2.0 * (jj.astype(jnp.float32) + 0.5) / width
+            - 1.0
+            + fa * (2.0 / width)
+        )
+        y = (
+            1.0
+            - 2.0 * (ii.astype(jnp.float32) + 0.5 + cam_ref[7]) / height
+            + fb * (2.0 / height)
+        )
+        dx, dy, dz = _view_dirs(x, y, cam_ref)
+        ox = jnp.full((TS, LANES), cam_ref[0], jnp.float32)
+        oy = jnp.full((TS, LANES), cam_ref[1], jnp.float32)
+        oz = jnp.full((TS, LANES), cam_ref[2], jnp.float32)
+        valid_px = jnp.where(
+            jnp.logical_and(ii < rows_out, jj < width), 1.0, 0.0
+        )
+        # Mask rows are 64-pixel-row super-tiles (see geometry block above).
+        cull = cull_packed(cullf_ref, (ty * aa_pack) // MH, tx)
+
+        def scene(px, py_, pz):
+            return scene_eval_f(
+                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                px, py_, pz, cull=cull,
+            )
+
+        def up(v):
+            # Per-pixel prepass plane (aa_pack, LANES) -> per-ray (TS, LANES)
+            # with each pixel row repeated for its S samples (py-major).
+            return jnp.broadcast_to(
+                v[:, None, :], (aa_pack, S, LANES)
+            ).reshape(TS, LANES)
+
+        if no_prepass:
+            t0 = dx * 0.0
+            live0 = valid_px
+        elif NI:
+            starts = [up(pre_refs[j][:]) for j in range(NI)]
+            ends = [up(pre_refs[NI + j][:]) for j in range(NI)]
+            live0 = jnp.where(starts[0] < 9.0e37, dx * 0.0 + 1.0, 0.0)
+            t0 = jnp.where(live0 > 0.0, starts[0], 0.0)
+        else:
+            t0 = up(pre_refs[0][:])
+            live0 = up(pre_refs[1][:])
+        t_cap = dx * 0.0 + 3.0e38
+        if cfg.bound_accel:
+            bnd = (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
+            _, _, t_cap = _bound_clip(
+                bnd, ox, oy, oz, dx, dy, dz, live0, t0, t_cap, cfg
+            )
+
+        any_near = jnp.max(live0) > 0.0
+
+        def do_surface():
+            if NI:
+                t, hit = _fine_march_interval_tile(
+                    scene, ox, oy, oz, dx, dy, dz, starts, ends, live0,
+                    t_cap, cfg,
+                )
+            else:
+                t, hit = _fine_march_tile(
+                    scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
+                )
+            px = ox + dx * t * hit
+            py_ = oy + dy * t * hit
+            pz = oz + dz * t * hit
+
+            def shade_hit():
+                nx = dx * 0.0
+                ny = nx
+                nz = nx
+                for kx, ky, kz in (
+                    (1.0, -1.0, -1.0),
+                    (-1.0, -1.0, 1.0),
+                    (-1.0, 1.0, -1.0),
+                    (1.0, 1.0, 1.0),
+                ):
+                    dval = scene(px + kx * eps, py_ + ky * eps, pz + kz * eps)
+                    nx = nx + kx * dval
+                    ny = ny + ky * dval
+                    nz = nz + kz * dval
+                ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+                tlx = px - lx_
+                tly = py_ - ly_
+                tlz = pz - lz_
+                linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
+                diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+                diff = jnp.maximum(diff, cfg.ambient)
+                if color_eval is not None:
+                    _, mar, mag, mab = color_eval(
+                        lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                        px, py_, pz, cull=cull,
+                    )
+                    mar = dx * 0.0 + mar
+                    mag = dx * 0.0 + mag
+                    mab = dx * 0.0 + mab
+                else:
+                    mar = dx * 0.0 + ax_
+                    mag = dx * 0.0 + ay_
+                    mab = dx * 0.0 + az_
+                return diff, mar, mag, mab
+
+            def shade_miss():
+                z = dx * 0.0
+                return z, z + ax_, z + ay_, z + az_
+
+            diff, mar, mag, mab = jax.lax.cond(
+                jnp.max(hit) > 0.0, shade_hit, shade_miss
+            )
+            return t, hit, diff, mar, mag, mab
+
+        def no_surface():
+            z = dx * 0.0
+            return z, z, z, z + ax_, z + ay_, z + az_
+
+        _t, hit, diff, mar, mag, mab = jax.lax.cond(
+            any_near, do_surface, no_surface
+        )
+
+        dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
+        dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
+        ft = (cfg.floor_y - oy) / dy_safe
+        fx = jnp.clip(ox + dx * ft, -1e7, 1e7)
+        fz = jnp.clip(oz + dz * ft, -1e7, 1e7)
+        ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+        ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+        parity = (jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)).astype(
+            jnp.float32
+        )
+        on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+        fcol_r = (fb_r + cfg.floor_checker * parity) * on_floor
+        fcol_g = (fb_g + cfg.floor_checker * parity) * on_floor
+        fcol_b = (fb_b + cfg.floor_checker * parity) * on_floor
+
+        miss = 1.0 - hit
+        cr = jnp.sqrt(jnp.maximum(hit * (mar * diff) + miss * fcol_r, 0.0) + 1e-12)
+        cg = jnp.sqrt(jnp.maximum(hit * (mag * diff) + miss * fcol_g, 0.0) + 1e-12)
+        cb = jnp.sqrt(jnp.maximum(hit * (mab * diff) + miss * fcol_b, 0.0) + 1e-12)
+
+        def aamean(v):
+            # Mean over each pixel row's S sample sublanes (py-major).
+            return jnp.sum(v.reshape(aa_pack, S, LANES), axis=1) * (1.0 / S)
+
+        r_ref[:] = aamean(cr)
+        g_ref[:] = aamean(cg)
+        b_ref[:] = aamean(cb)
+
+    def run_fine_packed(scene_args, pre):
+        def to2d_packed(v):
+            v = v.reshape(-1)[:hw].reshape(rows_out, width)
+            fill = _INF if NI else 0.0
+            return jnp.pad(
+                v,
+                ((0, Hp_pack - rows_out), (0, Wp - width)),
+                constant_values=fill,
+            )
+
+        blk = pl.BlockSpec(
+            (aa_pack, LANES),
+            lambda ty, tx, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
+        )
+        fine_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=(n_pty, Wp // LANES),
+            in_specs=[blk] * n_pre,
+            out_specs=[blk, blk, blk],
+            scratch_shapes=list(_scratch_shapes(spec, TS)),
+        )
+        r, g, b = pl.pallas_call(
+            fine_packed_kernel,
+            grid_spec=fine_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Hp_pack, Wp), jnp.float32)
+                for _ in range(3)
+            ],
+            interpret=interpret,
+        )(*scene_args, *(to2d_packed(v) for v in pre))
+        return jnp.stack([v[:rows_out, :width] for v in (r, g, b)], axis=-1)
+
     def render(arrays: TapeArrays, cam_vec):
         scene_args = _scene_args(arrays, cam_vec)
         pre = [] if no_prepass else run_coarse(scene_args)
+        if aa_packed:
+            return run_fine_packed(scene_args, pre)
         return run_fine(scene_args, pre)
 
     # Exposed for instrumentation / custom pipelines. `pre` is the prepass
     # plane list: [t0, status] (legacy) or NI (start, end) pairs.
     render.coarse = lambda arrays, cam_vec: run_coarse(_scene_args(arrays, cam_vec))
-    render.fine = lambda arrays, cam_vec, pre: run_fine(
-        _scene_args(arrays, cam_vec), pre
-    )
+    render.fine = lambda arrays, cam_vec, pre: (
+        run_fine_packed if aa_packed else run_fine
+    )(_scene_args(arrays, cam_vec), pre)
     # Residual-emitting fine pass for the fused VJP (ops.pallas_grad): also
     # returns each AA sample's (t, hit) so the backward kernel skips the
     # re-march (HBM for the residuals is far cheaper than recomputing the
-    # march: ~8 f32/pixel vs ~8 full scene evals per sample).
-    render.fine_res = lambda arrays, cam_vec, pre: run_fine(
-        _scene_args(arrays, cam_vec), pre, emit_th=True
-    )
+    # march: ~8 f32/pixel vs ~8 full scene evals per sample). Keeps the
+    # per-sample grid (the backward kernel mirrors its layout).
+    def _fine_res(arrays, cam_vec, pre):
+        if aa_packed:
+            raise NotImplementedError(
+                "residual emission uses the per-sample fine grid; build the "
+                "renderer with aa_packed=False for the fused VJP"
+            )
+        return run_fine(_scene_args(arrays, cam_vec), pre, emit_th=True)
+
+    render.fine_res = _fine_res
     return render

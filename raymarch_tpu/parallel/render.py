@@ -73,7 +73,8 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
             kw = dict(bm_coarse=8, bm_fine=8) if interpret else {}
             band = make_pallas_image_render_aa(
                 spec, cfg, width, height, prepass_block=1, band_rows=rows_per,
-                interpret=interpret, **kw
+                interpret=interpret, aa_packed=not cfg.aa_shared_normals,
+                **kw
             )
         else:
             from ..ops.pallas_grad import make_fused_render_vjp

@@ -208,6 +208,68 @@ class TestPrepassRender:
                 spec, CFG, 32, 32, no_prepass=True, n_intervals=2
             )
 
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(no_prepass=True),
+            dict(prepass_block=1),
+            dict(prepass_block=1, n_intervals=2),
+        ],
+        ids=["no_prepass", "legacy", "intervals"],
+    )
+    def test_aa_packed_matches_plain(self, static_compiled, kw):
+        # AA-packed tile layout (all S samples of a pixel strip in one
+        # tile): same math, different schedule. no_prepass is exact to fp
+        # reassociation; prepass paths are in the cone tolerance class.
+        spec, arrays = static_compiled
+        W, H = 65, 47
+        # Tight no_prepass comparison needs bound_accel off: the flat
+        # reference kernel starts bounded rays at the bound entry, a
+        # different (equally valid) sample sequence.
+        cfg = (
+            dataclasses.replace(CFG, bound_accel=False)
+            if kw.get("no_prepass")
+            else CFG
+        )
+        ref = _reference_image(spec, arrays, cfg, W, H)
+        rnd = make_pallas_image_render_aa(
+            spec, cfg, W, H, interpret=True, bm_coarse=8, aa_packed=True, **kw
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        assert img.shape == (H, W, 3)
+        d = np.abs(img - ref)
+        if kw.get("no_prepass"):
+            assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+        else:
+            _assert_images_close(img, ref)
+
+    def test_aa_packed_dynamic_cull_relax(self):
+        spec, arrays = rm.compile_scene(SCENE)  # dynamic tape
+        cfg = dataclasses.replace(CFG, leaf_cull=True, relax=1.6)
+        W, H = 48, 32
+        ref = _reference_image(spec, arrays, CFG, W, H)
+        rnd = make_pallas_image_render_aa(
+            spec, cfg, W, H, interpret=True, bm_coarse=8,
+            prepass_block=1, n_intervals=2, aa_packed=True,
+        )
+        img = np.asarray(rnd(arrays, _cam_vec(CAM)))
+        _assert_images_close(img, ref)
+
+    def test_aa_packed_rejects_shared_normals_and_residuals(
+        self, static_compiled
+    ):
+        spec, arrays = static_compiled
+        cfg = dataclasses.replace(CFG, aa_shared_normals=True)
+        with pytest.raises(ValueError):
+            make_pallas_image_render_aa(
+                spec, cfg, 32, 32, interpret=True, aa_packed=True
+            )
+        rnd = make_pallas_image_render_aa(
+            spec, CFG, 32, 32, interpret=True, bm_coarse=8, aa_packed=True
+        )
+        with pytest.raises(NotImplementedError):
+            rnd.fine_res(arrays, _cam_vec(CAM), [])
+
     def test_aa_shared_normals(self, static_compiled):
         # cfg.aa_shared_normals reuses the first hitting sample's 4-tap
         # normal for the pixel's other AA samples. Approximate by design:
