@@ -92,6 +92,7 @@ def make_fused_render_vjp(
     bm: int | None = None,
     prepass_block: int = 1,
     band_rows: int | None = None,
+    aa_packed: bool | None = None,
 ):
     """Build `render(arrays, cam_vec f32[8]) -> image[band_rows or H, W, 3]`,
     differentiable w.r.t. `arrays.leaf_params`, `arrays.op_param`, and
@@ -106,11 +107,21 @@ def make_fused_render_vjp(
     # The backward kernel holds the whole vjp graph in VMEM — residency
     # scales with the unrolled leaf count (the 64-leaf scene needs 38MB at
     # bm=64). Calibrated: bm * n_leaves * 4 rows of f32[128] lanes ~ 16MB.
+    budget = 4096 // (4 * max(spec.n_leaves, 1))
     if bm is None:
-        budget = 4096 // (4 * max(spec.n_leaves, 1))
         bm = 8
         while bm * 2 <= min(budget, 64):
             bm *= 2
+    # AA-packed layout (see ops.pallas_prepass): every (128/S)-pixel-row
+    # strip's S samples share ONE invocation, amortizing raygen + the
+    # in-kernel transpose graph's fixed structure across the samples. Needs
+    # the full 128-sublane tile resident, so auto-enable only when the leaf
+    # count keeps the vjp graph inside VMEM at that size.
+    S_ = cfg.aa_samples * cfg.aa_samples
+    if aa_packed is None:
+        aa_packed = (128 % S_ == 0) and budget >= 128
+    if aa_packed and 128 % S_:
+        raise ValueError("aa_packed VJP needs aa_samples^2 dividing 128")
     leaf_rows = _leaf_static_rows(spec)
     row_types = {r: (t, rot) for r, t, rot in leaf_rows}
     pushed_rows = sorted({a for (c, a, _s) in spec.static_tape if c == oc.COP_PUSH})
@@ -127,6 +138,11 @@ def make_fused_render_vjp(
     Hp = ((rows_out + bm - 1) // bm) * bm
     Wp = ((width + LANES - 1) // LANES) * LANES
     n_ty, n_tx = Hp // bm, Wp // LANES
+    # Packed-layout geometry (mirrors the packed fine kernel).
+    TS = 128
+    aa_pack = max(1, TS // S)
+    n_pty = (rows_out + aa_pack - 1) // aa_pack
+    Hp_pack = n_pty * aa_pack
     tanf = math.tan(cfg.fovy / 2.0)
     aspect = width / height
     lx_, ly_, lz_ = cfg.light_position
@@ -136,11 +152,13 @@ def make_fused_render_vjp(
     inv_s = 1.0 / S
 
     # Forward: the prepass renderer (bm_fine must match the bwd kernel's bm
-    # so t0/status block layouts line up).
+    # so the residual block layouts line up; in packed mode both sides use
+    # the strip layout).
     fwd_render = make_pallas_image_render_aa(
         spec, cfg, width, height, interpret=interpret,
         bm_coarse=64 if not interpret else 8, bm_fine=bm,
         prepass_block=prepass_block, band_rows=band_rows,
+        aa_packed=aa_packed,
     )
 
     def _scene_tile(rows_view, opp, px, py, pz, cull=None):
@@ -208,8 +226,11 @@ def make_fused_render_vjp(
         # every tile contained some hit and the skip was dead code.
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        s = pl.program_id(2)
-        step = (ty * n_tx + tx) * S + s
+        if aa_packed:
+            step = ty * n_tx + tx
+        else:
+            s = pl.program_id(2)
+            step = (ty * n_tx + tx) * S + s
 
         @pl.when(step == 0)
         def _():
@@ -233,8 +254,18 @@ def make_fused_render_vjp(
             )
 
         # --- primal: raygen + shading replay from the prepass residuals ---
-        ii = ty * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0)
-        jj = tx * LANES + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
+        if aa_packed:
+            # Packed strip: sublane u = pixel_row * S + sample.
+            u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
+            pyl = u // S
+            s = u - pyl * S
+            ii = ty * aa_pack + pyl
+            jj = tx * LANES + jax.lax.broadcasted_iota(
+                jnp.int32, (TS, LANES), 1
+            )
+        else:
+            ii = ty * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 0)
+            jj = tx * LANES + jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
         a_ = s // naa
         b_ = s - a_ * naa
         fa = (a_.astype(jnp.float32) + 0.5) / naa - 0.5
@@ -258,9 +289,21 @@ def make_fused_render_vjp(
         t = tm_ref[:]
         hit = hm_ref[:]
 
-        gr = gr_ref[:] * inv_s
-        gg = gg_ref[:] * inv_s
-        gb = gb_ref[:] * inv_s
+        if aa_packed:
+            # Per-pixel g blocks (aa_pack, LANES) -> per-ray strips, each
+            # pixel row repeated for its S samples (py-major).
+            def up(v):
+                return jnp.broadcast_to(
+                    v[:, None, :], (aa_pack, S, LANES)
+                ).reshape(TS, LANES)
+
+            gr = up(gr_ref[:]) * inv_s
+            gg = up(gg_ref[:]) * inv_s
+            gb = up(gb_ref[:]) * inv_s
+        else:
+            gr = gr_ref[:] * inv_s
+            gg = gg_ref[:] * inv_s
+            gb = gb_ref[:] * inv_s
 
         # --- explicit shading path: dL/d(scal, t) --------------------------
         def shade_loss(sc, tt):
@@ -381,33 +424,48 @@ def make_fused_render_vjp(
         for k, g in enumerate(flat):
             acc[k] += g
 
-        @pl.when(step == n_ty * n_tx * S - 1)
+        last = (n_pty * n_tx - 1) if aa_packed else (n_ty * n_tx * S - 1)
+
+        @pl.when(step == last)
         def _():
             for k in range(NSCAL):
                 gout_ref[k] = acc[k]
 
     def _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img):
         g = jnp.asarray(g_img, jnp.float32).reshape(rows_out, width, 3)
-        gpad = jnp.pad(g, ((0, Hp - rows_out), (0, Wp - width), (0, 0)))
+        Hg = Hp_pack if aa_packed else Hp
+        gpad = jnp.pad(g, ((0, Hg - rows_out), (0, Wp - width), (0, 0)))
         gr = gpad[:, :, 0]
         gg = gpad[:, :, 1]
         gb = gpad[:, :, 2]
 
-        px_spec = pl.BlockSpec(
-            (bm, LANES), lambda ty, tx, s, *_: (ty, tx),
-            memory_space=pltpu.VMEM,
-        )
-        th_spec = pl.BlockSpec(
-            (bm, LANES), lambda ty, tx, s, *_: (ty * S + s, tx),
-            memory_space=pltpu.VMEM,
-        )
+        if aa_packed:
+            px_spec = pl.BlockSpec(
+                (aa_pack, LANES), lambda ty, tx, *_: (ty, tx),
+                memory_space=pltpu.VMEM,
+            )
+            th_spec = pl.BlockSpec(
+                (TS, LANES), lambda ty, tx, *_: (ty, tx),
+                memory_space=pltpu.VMEM,
+            )
+            grid = (n_pty, n_tx)
+        else:
+            px_spec = pl.BlockSpec(
+                (bm, LANES), lambda ty, tx, s, *_: (ty, tx),
+                memory_space=pltpu.VMEM,
+            )
+            th_spec = pl.BlockSpec(
+                (bm, LANES), lambda ty, tx, s, *_: (ty * S + s, tx),
+                memory_space=pltpu.VMEM,
+            )
+            grid = (n_ty, n_tx, S)
         # Backward gates disabled (see cull_reader note above); keep the
         # mask operand slot so re-enabling is a two-line change.
         mask = jnp.zeros((1, 1), jnp.int32)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
-            grid=(n_ty, n_tx, S),
+            grid=grid,
             in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[pltpu.SMEM((NSCAL,), jnp.float32)],

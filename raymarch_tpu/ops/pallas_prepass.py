@@ -1191,10 +1191,14 @@ def make_pallas_image_render_aa(
     # sublane u = local_pixel_row * S + sample. See the builder docstring.
     def fine_packed_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, *rest,
+        cullc_ref, cullf_ref, *rest, emit_th=False,
     ):
         pre_refs = rest[:n_pre]
         r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
+        if emit_th:
+            # Residual planes for the fused VJP: per-ray (t, hit) in the
+            # SAME packed strip layout, block (TS, LANES) at (ty, tx).
+            tm_ref, hm_ref, *scratch = scratch
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
@@ -1324,6 +1328,9 @@ def make_pallas_image_render_aa(
         _t, hit, diff, mar, mag, mab = jax.lax.cond(
             any_near, do_surface, no_surface
         )
+        if emit_th:
+            tm_ref[:] = _t
+            hm_ref[:] = hit
 
         dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
         dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
@@ -1353,7 +1360,7 @@ def make_pallas_image_render_aa(
         g_ref[:] = aamean(cg)
         b_ref[:] = aamean(cb)
 
-    def run_fine_packed(scene_args, pre):
+    def run_fine_packed(scene_args, pre, emit_th=False):
         def to2d_packed(v):
             v = v.reshape(-1)[:hw].reshape(rows_out, width)
             fill = _INF if NI else 0.0
@@ -1368,23 +1375,40 @@ def make_pallas_image_render_aa(
             lambda ty, tx, *_: (ty, tx),
             memory_space=pltpu.VMEM,
         )
+        out_specs = [blk, blk, blk]
+        out_shape = [
+            jax.ShapeDtypeStruct((Hp_pack, Wp), jnp.float32) for _ in range(3)
+        ]
+        kernel = fine_packed_kernel
+        if emit_th:
+            th_blk = pl.BlockSpec(
+                (TS, LANES),
+                lambda ty, tx, *_: (ty, tx),
+                memory_space=pltpu.VMEM,
+            )
+            out_specs += [th_blk, th_blk]
+            out_shape += [
+                jax.ShapeDtypeStruct((n_pty * TS, Wp), jnp.float32)
+                for _ in range(2)
+            ]
+            kernel = functools.partial(fine_packed_kernel, emit_th=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(n_pty, Wp // LANES),
             in_specs=[blk] * n_pre,
-            out_specs=[blk, blk, blk],
+            out_specs=out_specs,
             scratch_shapes=list(_scratch_shapes(spec, TS)),
         )
-        r, g, b = pl.pallas_call(
-            fine_packed_kernel,
+        r, g, b, *th = pl.pallas_call(
+            kernel,
             grid_spec=fine_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((Hp_pack, Wp), jnp.float32)
-                for _ in range(3)
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(*scene_args, *(to2d_packed(v) for v in pre))
-        return jnp.stack([v[:rows_out, :width] for v in (r, g, b)], axis=-1)
+        img = jnp.stack([v[:rows_out, :width] for v in (r, g, b)], axis=-1)
+        if emit_th:
+            return img, th[0], th[1]
+        return img
 
     def render(arrays: TapeArrays, cam_vec):
         scene_args = _scene_args(arrays, cam_vec)
@@ -1406,10 +1430,10 @@ def make_pallas_image_render_aa(
     # per-sample grid (the backward kernel mirrors its layout).
     def _fine_res(arrays, cam_vec, pre):
         if aa_packed:
-            raise NotImplementedError(
-                "residual emission uses the per-sample fine grid; build the "
-                "renderer with aa_packed=False for the fused VJP"
-            )
+            # Residual planes come back in the packed strip layout
+            # ((n_pty*128, Wp), block (128, LANES) at (ty, tx)); the packed
+            # backward kernel (ops.pallas_grad) mirrors it.
+            return run_fine_packed(_scene_args(arrays, cam_vec), pre, emit_th=True)
         return run_fine(_scene_args(arrays, cam_vec), pre, emit_th=True)
 
     render.fine_res = _fine_res

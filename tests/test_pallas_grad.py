@@ -165,7 +165,11 @@ class TestCulledBackward:
             # O(min_dist) and grads by the same relative order — structural
             # agreement is what this asserts, not bitwise equality.
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-8
+                # atol covers sample-shift noise on near-zero elements: the
+                # packed forward's cull masks live at 64-pixel-row
+                # super-tiles (vs bm-row tiles), moving a few cull
+                # boundaries and with them O(min_dist) hit-sample shifts.
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-6
             )
         # sanity: the visible sphere actually has gradient signal
         assert np.abs(np.asarray(grads[True][0])).max() > 1e-6

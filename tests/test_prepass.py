@@ -255,20 +255,13 @@ class TestPrepassRender:
         img = np.asarray(rnd(arrays, _cam_vec(CAM)))
         _assert_images_close(img, ref)
 
-    def test_aa_packed_rejects_shared_normals_and_residuals(
-        self, static_compiled
-    ):
+    def test_aa_packed_rejects_shared_normals(self, static_compiled):
         spec, arrays = static_compiled
         cfg = dataclasses.replace(CFG, aa_shared_normals=True)
         with pytest.raises(ValueError):
             make_pallas_image_render_aa(
                 spec, cfg, 32, 32, interpret=True, aa_packed=True
             )
-        rnd = make_pallas_image_render_aa(
-            spec, CFG, 32, 32, interpret=True, bm_coarse=8, aa_packed=True
-        )
-        with pytest.raises(NotImplementedError):
-            rnd.fine_res(arrays, _cam_vec(CAM), [])
 
     def test_aa_shared_normals(self, static_compiled):
         # cfg.aa_shared_normals reuses the first hitting sample's 4-tap
