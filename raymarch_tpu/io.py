@@ -21,7 +21,7 @@ import json
 
 import numpy as np
 
-from .ops.tape import TapeArrays, TapeSpec
+from .ops.tape import TapeArrays, TapeSpec, arrays_from_streams
 
 
 def save_scene(path: str, wire_tape, **metadata) -> None:
@@ -74,10 +74,11 @@ def load_params(path: str, spec: TapeSpec) -> TapeArrays:
                 "checkpoint was saved for a different TapeSpec (scene "
                 "topology/bucketing changed); recompile the matching scene"
             )
-        return TapeArrays(
-            leaf_params=z["leaf_params"],
-            tape_ops=z["tape_ops"],
-            tape_arg=z["tape_arg"],
-            op_param=z["op_param"],
-            out_slot=z["out_slot"],
+        return arrays_from_streams(
+            spec,
+            z["leaf_params"],
+            z["tape_ops"],
+            z["tape_arg"],
+            z["op_param"],
+            z["out_slot"],
         )

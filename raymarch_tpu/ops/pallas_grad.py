@@ -502,6 +502,12 @@ def make_fused_render_vjp(
         d_cam = jnp.concatenate([gflat[off : off + 7], jnp.zeros(1, jnp.float32)])
         return d_lp, d_opp, d_cam
 
+    from .tape import macroize_streams
+
+    _mops_np, _marg_np, _mslotk_np, _, _ = macroize_streams(
+        ops_np, arg_np, slot_np, n_real, n_macro=spec.n_macro
+    )
+
     def _arrays_from(lp, opp):
         return TapeArrays(
             leaf_params=lp,
@@ -509,6 +515,9 @@ def make_fused_render_vjp(
             tape_arg=jnp.asarray(arg_np),
             op_param=opp,
             out_slot=jnp.asarray(slot_np),
+            macro_ops=jnp.asarray(_mops_np),
+            macro_arg=jnp.asarray(_marg_np),
+            macro_slotk=jnp.asarray(_mslotk_np),
         )
 
     @jax.custom_vjp

@@ -179,29 +179,33 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
 
         return scene_eval_static
 
-    branches = _combine_branches()
-
     sd = spec.stack_depth
     rows_sorted = sorted(leaf_rows, key=lambda r: r[0])
+    branches = _combine_branches()
 
+    # MACRO interpreter for dynamic tapes. The kernels prefetch the fused
+    # macro streams (ops.tape.macroize_streams) instead of the raw
+    # instruction streams: each entry is (pushA?, pushB?, combine) — a
+    # push/push/combine triple costs ONE entry. Per-entry fixed cost
+    # (branch constructs + stack-slot vselects) is what the dynamic path
+    # pays over the static unroll per distance query, measured ~3 ms/entry
+    # at 1080p march-only, so halving entries halves the gap.
+    #
+    # Two forms, chosen statically from the spec:
+    # - macro_slot0 (depth<=2 trees, the common interactive case): every
+    #   real macro writes slot 0 and every binary's right operand is a
+    #   fresh push (encoder invariant), so the whole stack collapses to one
+    #   register accumulator — ZERO slot selects.
+    # - general: slot-selected reads/writes like the classic form, over
+    #   ~half the entries.
+    #
+    # Leaves are evaluated lazily inside the push branches (lax.switch over
+    # the static rows), so each eval pays only the leaves it uses and
+    # `cull` gates whole rows. The loop unrolls the PADDED macro bucket:
+    # topology edits recompile nothing.
+    # (init derived from px, not jnp.full: Mosaic rejects replicated-
+    # constant vectors meeting data-dependent layouts, see _march_tile)
     def scene_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch, px, py, pz, cull=None):
-        # Fully lazy dynamic interpreter, no VMEM scratch at all:
-        #
-        # - The value stack lives in REGISTERS; slots are selected by
-        #   comparing the runtime `slot` against static indices (stack
-        #   depth is bucketed small, ops.tape, and rebalanced chains need
-        #   only ~log2(leaves) slots).
-        # - Leaves are evaluated INSIDE the PUSH branch via a switch over
-        #   the (static) leaf rows — only pushes pay leaf work, and nothing
-        #   materializes a leaf-distance bank. (The previous design wrote
-        #   all leaves to a VMEM D bank and dynamically indexed it on EVERY
-        #   instruction; dynamic VMEM addressing per instruction dominated
-        #   the dynamic path's 2.2x gap over the static tape.)
-        # - The instruction loop is a static unroll of the PADDED bucket
-        #   length, so topology edits still recompile nothing.
-        #
-        # (init derived from px, not jnp.full: Mosaic rejects replicated-
-        # constant vectors meeting data-dependent layouts, see _march_tile)
         def leaf_closure(row, ltype, rotated):
             def run():
                 return _leaf_distance_tile(
@@ -219,30 +223,20 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
         leaf_fns = [leaf_closure(r, t, ro) for r, t, ro in rows_sorted]
 
         far = px * 0.0 + cfg.max_dist
-        stack = [far for _ in range(sd + 1)]
 
-        for k in range(spec.n_instr):
-            op = ops_ref[k]
-            arg = arg_ref[k]
-            slot = slot_ref[k]
-            kp = opp_ref[k]
-            a = stack[0]
-            b = stack[1]
-            for i in range(1, sd):
-                sel = slot == i
-                a = jnp.where(sel, stack[i], a)
-                b = jnp.where(sel, stack[i + 1], b)
+        def leaf_switch(arg):
+            if not leaf_fns:  # empty scene: push flags are never set
+                return far
+            if len(leaf_fns) == 1:
+                return leaf_fns[0]()
+            return jax.lax.switch(arg, leaf_fns)
 
-            def push():
-                if len(leaf_fns) == 1:
-                    return leaf_fns[0]()
-                return jax.lax.switch(arg, leaf_fns)
-
-            val = jax.lax.switch(
-                op,
+        def combine(cop, a, b, kp):
+            return jax.lax.switch(
+                cop,
                 [
-                    lambda: a,  # NOP
-                    push,  # PUSH: the only bare branch doing leaf work
+                    lambda: a,  # NOP (pure-push / padding macros)
+                    lambda: a,  # (PUSH never appears as a macro combine)
                     lambda: jnp.minimum(a, b),
                     lambda: jnp.maximum(a, b),
                     lambda: jnp.maximum(a, -b),
@@ -253,6 +247,52 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
                     lambda: jnp.abs(a) - kp,
                 ],
             )
+
+        if spec.macro_slot0:
+            acc = far
+            for k in range(spec.n_macro):
+                packed = ops_ref[k]
+                marg = arg_ref[k]
+                kp = opp_ref[slot_ref[k] >> 8]
+                a = jax.lax.cond(
+                    (packed & 1) > 0,
+                    lambda marg=marg: leaf_switch(marg >> 10),
+                    lambda acc=acc: acc,
+                )
+                # b is only consumed by binary combines, which always carry
+                # pushB in slot0 tapes (see macroize_streams).
+                b = jax.lax.cond(
+                    (packed & 2) > 0,
+                    lambda marg=marg: leaf_switch(marg & 1023),
+                    lambda: far,
+                )
+                acc = combine(packed >> 2, a, b, kp)
+            return acc
+
+        stack = [far for _ in range(sd + 1)]
+        for k in range(spec.n_macro):
+            packed = ops_ref[k]
+            marg = arg_ref[k]
+            slotk = slot_ref[k]
+            slot = slotk & 255
+            kp = opp_ref[slotk >> 8]
+            a0 = stack[0]
+            b0 = stack[1]
+            for i in range(1, sd):
+                sel = slot == i
+                a0 = jnp.where(sel, stack[i], a0)
+                b0 = jnp.where(sel, stack[i + 1], b0)
+            a = jax.lax.cond(
+                (packed & 1) > 0,
+                lambda marg=marg: leaf_switch(marg >> 10),
+                lambda a0=a0: a0,
+            )
+            b = jax.lax.cond(
+                (packed & 2) > 0,
+                lambda marg=marg: leaf_switch(marg & 1023),
+                lambda b0=b0: b0,
+            )
+            val = combine(packed >> 2, a, b, kp)
             for i in range(sd):
                 stack[i] = jnp.where(slot == i, val, stack[i])
         return stack[0]
@@ -305,9 +345,11 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
 
     def color_eval(lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
                    px, py, pz, cull=None):
-        # Dynamic-tape interpreter with a 4-channel (d, r, g, b) register
-        # stack; same structure as _make_scene_eval's dynamic path. Winner/
-        # blend weights mirror oracle.eval_tape_color.
+        # Dynamic-tape MACRO interpreter with a 4-channel (d, r, g, b)
+        # register stack; consumes the same fused macro streams as
+        # _make_scene_eval (general form only — this runs once per hit tile,
+        # so the slot0 specialization is not worth a second code path).
+        # Winner/blend weights mirror oracle.eval_tape_color.
         def leaf_closure(row, ltype, rotated):
             def run():
                 d = _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz)
@@ -341,11 +383,19 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
                 w * ca[2] + (1.0 - w) * cb[2],
             )
 
-        for k in range(spec.n_instr):
-            op = ops_ref[k]
-            arg = arg_ref[k]
-            slot = slot_ref[k]
-            kp = opp_ref[k]
+        def leaf_switch(arg):
+            if not leaf_fns:  # empty scene: push flags are never set
+                return stack[0]
+            if len(leaf_fns) == 1:
+                return leaf_fns[0]()
+            return jax.lax.switch(arg, leaf_fns)
+
+        for k in range(spec.n_macro):
+            packed = ops_ref[k]
+            marg = arg_ref[k]
+            slotk = slot_ref[k]
+            slot = slotk & 255
+            kp = opp_ref[slotk >> 8]
             a = stack[0]
             b = stack[1]
             for i in range(1, sd):
@@ -356,19 +406,24 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
                 b = tuple(
                     jnp.where(sel, x, y) for x, y in zip(stack[i + 1], b)
                 )
+            a = jax.lax.cond(
+                (packed & 1) > 0,
+                lambda marg=marg: leaf_switch(marg >> 10),
+                lambda a=a: a,
+            )
+            b = jax.lax.cond(
+                (packed & 2) > 0,
+                lambda marg=marg: leaf_switch(marg & 1023),
+                lambda b=b: b,
+            )
             da, ca = a[0], a[1:]
             db, cb = b[0], b[1:]
 
-            def push():
-                if len(leaf_fns) == 1:
-                    return leaf_fns[0]()
-                return jax.lax.switch(arg, leaf_fns)
-
             val = jax.lax.switch(
-                op,
+                packed >> 2,
                 [
-                    lambda: a,  # NOP
-                    push,
+                    lambda: a,  # NOP (pure-push / padding macros)
+                    lambda: a,  # (PUSH never appears as a macro combine)
                     lambda: blend(
                         jnp.minimum(da, db),
                         jnp.where(da <= db, 1.0, 0.0), ca, cb,
@@ -674,9 +729,9 @@ def make_pallas_ray_march(
             out_shape=out_shape,
             interpret=interpret,
         )(
-            jnp.asarray(arrays.tape_ops),
-            jnp.asarray(arrays.tape_arg),
-            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.macro_ops),
+            jnp.asarray(arrays.macro_arg),
+            jnp.asarray(arrays.macro_slotk),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
             compute_bound(spec, arrays),
@@ -801,9 +856,9 @@ def make_pallas_image_march(
             out_shape=out_shape,
             interpret=interpret,
         )(
-            jnp.asarray(arrays.tape_ops),
-            jnp.asarray(arrays.tape_arg),
-            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.macro_ops),
+            jnp.asarray(arrays.macro_arg),
+            jnp.asarray(arrays.macro_slotk),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
             compute_bound(spec, arrays),
@@ -1022,9 +1077,9 @@ def make_pallas_image_render(
             out_shape=out_shape,
             interpret=interpret,
         )(
-            jnp.asarray(arrays.tape_ops),
-            jnp.asarray(arrays.tape_arg),
-            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.macro_ops),
+            jnp.asarray(arrays.macro_arg),
+            jnp.asarray(arrays.macro_slotk),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
             compute_bound(spec, arrays),

@@ -1028,9 +1028,9 @@ def make_pallas_image_render_aa(
     def _scene_args(arrays: TapeArrays, cam_vec):
         mask_c, mask_f = _cull_masks(arrays, cam_vec)
         return (
-            jnp.asarray(arrays.tape_ops),
-            jnp.asarray(arrays.tape_arg),
-            jnp.asarray(arrays.out_slot),
+            jnp.asarray(arrays.macro_ops),
+            jnp.asarray(arrays.macro_arg),
+            jnp.asarray(arrays.macro_slotk),
             jnp.asarray(arrays.op_param),
             jnp.asarray(arrays.leaf_params),
             compute_bound(spec, arrays),

@@ -238,6 +238,15 @@ class TapeSpec:
     # first material (or unpainting the last) is a topology-class edit.
     # Albedo VALUES are dynamic (differentiable) in leaf_params[:, 12:15].
     has_materials: bool = False
+    # Padded MACRO tape length (see `macroize_streams`): the dynamic-tape
+    # Pallas interpreter consumes a fused push/push/combine macro stream whose
+    # per-entry fixed cost is what the interpreter pays per distance query,
+    # so ~halving the entry count ~halves the dynamic-vs-static overhead.
+    n_macro: int = 1
+    # True when every real macro writes stack slot 0 (depth<=2 trees without
+    # a unary applied to a right-hand leaf): the interpreter then runs a pure
+    # register accumulator with ZERO stack-slot selects.
+    macro_slot0: bool = False
 
 
 @dataclasses.dataclass
@@ -249,6 +258,13 @@ class TapeArrays:
     tape_arg:    i32[n_instr] — leaf row index for COP_PUSH, else 0.
     op_param:    f32[n_instr] — blend radius / round radius / onion thickness.
     out_slot:    i32[n_instr] — stack slot written by each instruction.
+
+    Macro streams (derived from the above by `macroize_streams`; consumed by
+    the Pallas dynamic-tape interpreter — op_param stays the one
+    differentiable parameter array, indexed via the packed kidx):
+    macro_ops:   i32[n_macro] — pushA | pushB<<1 | COP<<2.
+    macro_arg:   i32[n_macro] — leaf row argA<<10 | argB.
+    macro_slotk: i32[n_macro] — out slot | op_param index<<8.
     """
 
     leaf_params: np.ndarray
@@ -256,6 +272,9 @@ class TapeArrays:
     tape_arg: np.ndarray
     op_param: np.ndarray
     out_slot: np.ndarray
+    macro_ops: np.ndarray
+    macro_arg: np.ndarray
+    macro_slotk: np.ndarray
 
 
 def _register_tape_arrays() -> None:
@@ -263,7 +282,16 @@ def _register_tape_arrays() -> None:
 
     jax.tree_util.register_dataclass(
         TapeArrays,
-        data_fields=["leaf_params", "tape_ops", "tape_arg", "op_param", "out_slot"],
+        data_fields=[
+            "leaf_params",
+            "tape_ops",
+            "tape_arg",
+            "op_param",
+            "out_slot",
+            "macro_ops",
+            "macro_arg",
+            "macro_slotk",
+        ],
         meta_fields=[],
     )
 
@@ -281,6 +309,109 @@ def _next_pow2(n: int, lo: int) -> int:
     while v < n:
         v *= 2
     return v
+
+
+_COP_BINARY = (
+    oc.COP_UNION,
+    oc.COP_INTERSECTION,
+    oc.COP_SUBTRACTION,
+    oc.COP_SMOOTH_UNION,
+    oc.COP_SMOOTH_INTERSECTION,
+    oc.COP_SMOOTH_SUBTRACTION,
+)
+_COP_UNARY = (oc.COP_ROUND, oc.COP_ONION)
+
+
+def macroize_streams(tape_ops, tape_arg, out_slot, n_real, n_macro=None):
+    """Fuse the postorder instruction streams into MACRO entries.
+
+    A macro is (pushA?, pushB?, cop) at stack slot s with semantics
+
+        a = pushA ? leaf[argA] : stack[s]
+        b = pushB ? leaf[argB] : stack[s+1]
+        stack[s] = cop(a, b, op_param[kidx])        # COP_NOP -> a
+
+    Greedy fusion patterns (postorder guarantees these are the only shapes):
+      PUSH x@s, PUSH y@s+1, binary@s  -> (pushA, pushB, binary)@s   [3 -> 1]
+      PUSH y@s+1, binary@s            -> (pushB, binary)@s          [2 -> 1]
+      PUSH x@s, unary@s               -> (pushA, unary)@s           [2 -> 1]
+      anything else                   -> 1:1
+
+    The dynamic-tape interpreter pays a fixed per-entry cost per distance
+    query, so the ~2x entry reduction is a direct interpreter speedup; a
+    `pushB` value is always consumed by the fused cop, never stored, which
+    is what keeps the depth<=2 accumulator form (macro_slot0) select-free.
+
+    Packing (asserted in range): macro_ops = pushA | pushB<<1 | cop<<2;
+    macro_arg = argA<<10 | argB; macro_slotk = slot | kidx<<8 where kidx
+    indexes the ORIGINAL op_param stream (which stays the differentiable
+    parameter array).
+
+    Returns (macro_ops, macro_arg, macro_slotk, n_macro_real, slot0) with
+    arrays padded to `n_macro` (or to the real count when None).
+    """
+    ops = np.asarray(tape_ops)
+    arg = np.asarray(tape_arg)
+    slot = np.asarray(out_slot)
+    macros = []  # (pushA, pushB, cop, argA, argB, s, kidx)
+    i = 0
+    while i < n_real:
+        op_i = int(ops[i])
+        if op_i == oc.COP_PUSH:
+            if (
+                i + 2 < n_real
+                and int(ops[i + 1]) == oc.COP_PUSH
+                and int(ops[i + 2]) in _COP_BINARY
+                and int(slot[i + 1]) == int(slot[i]) + 1
+                and int(slot[i + 2]) == int(slot[i])
+            ):
+                macros.append(
+                    (1, 1, int(ops[i + 2]), int(arg[i]), int(arg[i + 1]),
+                     int(slot[i]), i + 2)
+                )
+                i += 3
+            elif (
+                i + 1 < n_real
+                and int(ops[i + 1]) in _COP_BINARY
+                and int(slot[i + 1]) == int(slot[i]) - 1
+            ):
+                macros.append(
+                    (0, 1, int(ops[i + 1]), 0, int(arg[i]),
+                     int(slot[i + 1]), i + 1)
+                )
+                i += 2
+            elif (
+                i + 1 < n_real
+                and int(ops[i + 1]) in _COP_UNARY
+                and int(slot[i + 1]) == int(slot[i])
+            ):
+                macros.append(
+                    (1, 0, int(ops[i + 1]), int(arg[i]), 0, int(slot[i]), i + 1)
+                )
+                i += 2
+            else:
+                macros.append((1, 0, oc.COP_NOP, int(arg[i]), 0, int(slot[i]), 0))
+                i += 1
+        else:
+            macros.append((0, 0, op_i, 0, 0, int(slot[i]), i))
+            i += 1
+
+    n_macro_real = len(macros)
+    slot0 = all(m[5] == 0 for m in macros)
+    if n_macro is None:
+        n_macro = max(n_macro_real, 1)
+    assert n_macro_real <= n_macro, (n_macro_real, n_macro)
+    mops = np.zeros(n_macro, dtype=np.int32)
+    marg = np.zeros(n_macro, dtype=np.int32)
+    mslotk = np.zeros(n_macro, dtype=np.int32)
+    for j, (pa, pb, cop, a_, b_, s, kidx) in enumerate(macros):
+        assert a_ < 1024 and b_ < 1024, "leaf row exceeds macro_arg packing"
+        assert s < 256, "stack depth exceeds macro_slotk packing"
+        assert kidx < (1 << 23), "op_param index exceeds macro_slotk packing"
+        mops[j] = pa | (pb << 1) | (cop << 2)
+        marg[j] = (a_ << 10) | b_
+        mslotk[j] = s | (kidx << 8)
+    return mops, marg, mslotk, n_macro_real, slot0
 
 
 _WIRE_TO_COP = {
@@ -578,6 +709,24 @@ def compile_wire(
             (int(tape_ops[i]), int(tape_arg[i]), int(out_slot[i]))
             for i in range(n_real)
         )
+
+    # Macro stream for the Pallas dynamic-tape interpreter; bucketed like the
+    # instruction stream so topology edits stay recompile-free. The bucket
+    # floor is half the instruction floor (a macro covers >= ~2 instructions
+    # for typical trees), keeping the macro bucket stable across the same
+    # class of small structural edits the instruction bucket absorbs.
+    _mo, _ma, _ms, n_macro_real, slot0 = macroize_streams(
+        tape_ops, tape_arg, out_slot, n_real
+    )
+    n_macro = (
+        _next_pow2(max(n_macro_real, 1), max(min_instr_bucket // 2, 1))
+        if bucket
+        else max(n_macro_real, 1)
+    )
+    macro_ops, macro_arg, macro_slotk, _, _ = macroize_streams(
+        tape_ops, tape_arg, out_slot, n_real, n_macro=n_macro
+    )
+
     spec = TapeSpec(
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
@@ -586,6 +735,8 @@ def compile_wire(
         rotated_types=tuple(rotated_types),
         static_tape=static_tape,
         has_materials=bool(leaf_params[:, oc.LEAF_MAT_FLAG].any()),
+        n_macro=n_macro,
+        macro_slot0=slot0,
     )
     arrays = TapeArrays(
         leaf_params=leaf_params,
@@ -593,8 +744,39 @@ def compile_wire(
         tape_arg=tape_arg,
         op_param=op_param,
         out_slot=out_slot,
+        macro_ops=macro_ops,
+        macro_arg=macro_arg,
+        macro_slotk=macro_slotk,
     )
     return spec, arrays
+
+
+def arrays_from_streams(
+    spec: TapeSpec,
+    leaf_params,
+    tape_ops,
+    tape_arg,
+    op_param,
+    out_slot,
+) -> TapeArrays:
+    """Rebuild TapeArrays from serialized instruction streams (checkpoint
+    restore): the macro streams are DERIVED state, so they are recomputed
+    here rather than stored — one source of truth."""
+    tape_ops = np.asarray(tape_ops)
+    n_real = int(np.count_nonzero(tape_ops))  # real instrs are never COP_NOP
+    macro_ops, macro_arg, macro_slotk, _, _ = macroize_streams(
+        tape_ops, tape_arg, out_slot, n_real, n_macro=spec.n_macro
+    )
+    return TapeArrays(
+        leaf_params=leaf_params,
+        tape_ops=tape_ops,
+        tape_arg=np.asarray(tape_arg),
+        op_param=np.asarray(op_param),
+        out_slot=np.asarray(out_slot),
+        macro_ops=macro_ops,
+        macro_arg=macro_arg,
+        macro_slotk=macro_slotk,
+    )
 
 
 def compile_scene(

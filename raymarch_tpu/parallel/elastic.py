@@ -36,7 +36,7 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from ..ops.tape import TapeArrays, TapeSpec
+from ..ops.tape import TapeArrays, TapeSpec, arrays_from_streams
 
 _PREFIX = "fitckpt_"
 
@@ -145,12 +145,13 @@ class FitCheckpointer:
                     "topology/bucketing changed); clear the checkpoint "
                     "directory or recompile the matching scene"
                 )
-            arrays = TapeArrays(
-                leaf_params=z["leaf_params"],
-                tape_ops=z["tape_ops"],
-                tape_arg=z["tape_arg"],
-                op_param=z["op_param"],
-                out_slot=z["out_slot"],
+            arrays = arrays_from_streams(
+                spec,
+                z["leaf_params"],
+                z["tape_ops"],
+                z["tape_arg"],
+                z["op_param"],
+                z["out_slot"],
             )
             camera = Camera(
                 position=z["cam_position"], rotation=z["cam_rotation"]

@@ -195,3 +195,205 @@ class TestDeviceProgram:
         assert spec.type_slices == spec0.type_slices
         assert (arrays.tape_ops[real] == oc.COP_PUSH).sum() == 64
         assert (arrays.tape_ops[real] == oc.COP_UNION).sum() == 63
+
+
+class TestMacroStream:
+    """The fused push/push/combine MACRO encoding consumed by the Pallas
+    dynamic-tape interpreter (ops.tape.macroize_streams)."""
+
+    @staticmethod
+    def _decode(arrays, spec):
+        out = []
+        for j in range(spec.n_macro):
+            packed = int(arrays.macro_ops[j])
+            marg = int(arrays.macro_arg[j])
+            slotk = int(arrays.macro_slotk[j])
+            out.append(
+                dict(
+                    pushA=packed & 1,
+                    pushB=(packed >> 1) & 1,
+                    cop=packed >> 2,
+                    argA=marg >> 10,
+                    argB=marg & 1023,
+                    slot=slotk & 255,
+                    kidx=slotk >> 8,
+                )
+            )
+        return out
+
+    def test_golden_config2(self):
+        # (sphere | box) - torus: PUSH,PUSH,UNION,PUSH,SUB -> 2 macros.
+        scene = (sphere(radius=0.9) | box(center=(0.8, 0, 0))) - torus(
+            center=(0, 0.8, 0)
+        )
+        spec, arrays = compile_scene(scene)
+        # Bucket floor is min_instr_bucket/2 = 4 so the macro bucket stays
+        # stable across the same small structural edits the instruction
+        # bucket absorbs (tests/test_viewer.py exercises this live).
+        assert spec.n_macro == 4
+        assert spec.macro_slot0
+        m = self._decode(arrays, spec)
+        assert m[0] == dict(
+            pushA=1, pushB=1, cop=oc.COP_UNION, argA=0, argB=2, slot=0, kidx=2
+        )
+        assert m[1] == dict(
+            pushA=0, pushB=1, cop=oc.COP_SUBTRACTION, argA=0, argB=4, slot=0,
+            kidx=4,
+        )
+
+    def test_pushB_implies_combine(self):
+        # Invariant the slot0 accumulator form relies on: a pushB value is
+        # always consumed by the fused combine, never stored.
+        import itertools
+
+        rng = np.random.default_rng(3)
+        for n in (1, 2, 3, 5, 9, 17):
+            parts = [sphere(center=(float(i), 0, 0)) for i in range(n)]
+            scene = parts[0]
+            for p in parts[1:]:
+                scene = (
+                    scene | p if rng.random() < 0.5 else scene.subtract(p)
+                )
+            for rebalance in (False, True):
+                spec, arrays = compile_scene(scene, rebalance=rebalance)
+                for m in self._decode(arrays, spec):
+                    if m["pushB"]:
+                        assert m["cop"] in (
+                            oc.COP_UNION,
+                            oc.COP_INTERSECTION,
+                            oc.COP_SUBTRACTION,
+                            oc.COP_SMOOTH_UNION,
+                            oc.COP_SMOOTH_INTERSECTION,
+                            oc.COP_SMOOTH_SUBTRACTION,
+                        )
+
+    def test_macro_halves_entries(self):
+        # A balanced 64-leaf union tree: 127 instructions -> <= 64 macros.
+        parts = [sphere(center=(float(i), 0, 0)) for i in range(64)]
+        scene = parts[0]
+        for p in parts[1:]:
+            scene = scene | p
+        spec, arrays = compile_scene(scene)
+        from raymarch_tpu.ops.tape import macroize_streams
+
+        real = arrays.tape_ops != oc.COP_NOP
+        n_real = int(real.sum())
+        _, _, _, n_macro_real, _ = macroize_streams(
+            arrays.tape_ops, arrays.tape_arg, arrays.out_slot, n_real
+        )
+        assert n_real == 127
+        assert n_macro_real <= 64
+
+    def test_unary_on_right_leaf_disables_slot0(self):
+        scene = sphere(radius=0.5) | box(half_extents=(0.4,) * 3).round(0.1)
+        spec, _ = compile_scene(scene, rebalance=False)
+        assert spec.stack_depth == 2
+        assert not spec.macro_slot0
+
+    def test_replay_matches_instruction_stream(self):
+        # Scalar replay of the macro stream == scalar replay of the
+        # instruction stream, on random scenes with every op class.
+        from raymarch_tpu.ops.tape import macroize_streams
+
+        rng = np.random.default_rng(11)
+
+        def rand_scene(n):
+            prims = [
+                sphere(center=tuple(rng.uniform(-2, 2, 3)), radius=0.3),
+                box(center=tuple(rng.uniform(-2, 2, 3))),
+                torus(center=tuple(rng.uniform(-2, 2, 3))),
+            ]
+            node = prims[rng.integers(len(prims))]
+            for _ in range(n):
+                other = prims[rng.integers(len(prims))]
+                r = rng.random()
+                if r < 0.2:
+                    node = node.union(other, k=0.2)
+                elif r < 0.4:
+                    node = node | other
+                elif r < 0.6:
+                    node = node.subtract(other)
+                elif r < 0.8:
+                    node = other | node
+                else:
+                    node = node.round(0.05)
+            return node
+
+        def replay_instrs(arrays, sd, leaf_vals):
+            stack = [100.0] * (sd + 1)
+            for k in range(len(arrays.tape_ops)):
+                op = int(arrays.tape_ops[k])
+                arg = int(arrays.tape_arg[k])
+                s = int(arrays.out_slot[k])
+                kp = float(arrays.op_param[k])
+                a, b = stack[s], stack[s + 1] if s + 1 <= sd else 100.0
+                stack[s] = _apply_cop(op, a, b, kp, leaf_vals.get(arg, 100.0))
+            return stack[0]
+
+        def replay_macros(arrays, spec, sd, leaf_vals):
+            stack = [100.0] * (sd + 1)
+            for j in range(spec.n_macro):
+                packed = int(arrays.macro_ops[j])
+                marg = int(arrays.macro_arg[j])
+                slotk = int(arrays.macro_slotk[j])
+                s = slotk & 255
+                kp = float(arrays.op_param[slotk >> 8])
+                a = (
+                    leaf_vals.get(marg >> 10, 100.0)
+                    if packed & 1
+                    else stack[s]
+                )
+                b = (
+                    leaf_vals.get(marg & 1023, 100.0)
+                    if packed & 2
+                    else (stack[s + 1] if s + 1 <= sd else 100.0)
+                )
+                cop = packed >> 2
+                if cop in (oc.COP_NOP, oc.COP_PUSH):
+                    stack[s] = a
+                else:
+                    stack[s] = _apply_cop(cop, a, b, kp, None)
+            return stack[0]
+
+        def _apply_cop(op, a, b, kp, leaf):
+            import math
+
+            def smin(a, b, k):
+                k = max(k, 1e-8)
+                h = max(k - abs(a - b), 0.0) / k
+                return min(a, b) - h * h * k * 0.25
+
+            if op == oc.COP_NOP:
+                return a
+            if op == oc.COP_PUSH:
+                return leaf
+            if op == oc.COP_UNION:
+                return min(a, b)
+            if op == oc.COP_INTERSECTION:
+                return max(a, b)
+            if op == oc.COP_SUBTRACTION:
+                return max(a, -b)
+            if op == oc.COP_SMOOTH_UNION:
+                return smin(a, b, kp)
+            if op == oc.COP_SMOOTH_INTERSECTION:
+                return -smin(-a, -b, kp)
+            if op == oc.COP_SMOOTH_SUBTRACTION:
+                return -smin(-a, b, kp)
+            if op == oc.COP_ROUND:
+                return a - kp
+            if op == oc.COP_ONION:
+                return abs(a) - kp
+            raise AssertionError(op)
+
+        for trial in range(20):
+            scene = rand_scene(int(rng.integers(1, 10)))
+            for rebalance in (False, True):
+                spec, arrays = compile_scene(scene, rebalance=rebalance)
+                sd = max(spec.stack_depth, 64)
+                leaf_vals = {
+                    r: float(rng.uniform(-1, 1))
+                    for r in range(spec.n_leaves)
+                }
+                v1 = replay_instrs(arrays, sd, leaf_vals)
+                v2 = replay_macros(arrays, spec, sd, leaf_vals)
+                assert v1 == pytest.approx(v2, abs=1e-12), (trial, rebalance)
