@@ -224,17 +224,16 @@ def main():
     )
 
     # --- secondary: dynamic tape (zero-recompile runtime edits) -------------
-    # Interval prepass + relaxed stepping help the dynamic interpreter MORE
-    # than the static tape (every skipped fine eval is ~2x costlier there).
+    # Same cone-prepass configuration as the static headline; the macro-op
+    # interpreter (ops.tape.macroize_streams) keeps the gap ~1.4x.
     spec_d, arrays_d = rm.compile_scene(scene)
     rnd_d = make_pallas_image_render_aa(
-        spec_d, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
-        aa_packed=True,
+        spec_d, cfg, WIDTH, HEIGHT, prepass_block=1, aa_packed=True
     )
     fused_d = jax.jit(lambda a, c: jnp.sum(rnd_d(a, c)))
     dt_dyn, _ = timeit(fused_d, arrays_d, cam_vec)
     print(
-        f"interval-prepass render (dynamic tape): {dt_dyn*1e3:.2f} ms/frame, "
+        f"cone-prepass render (dynamic tape): {dt_dyn*1e3:.2f} ms/frame, "
         f"{n_rays/dt_dyn/1e9:.3f} Grays/s",
         file=sys.stderr,
     )

@@ -3,8 +3,9 @@
 The reference's headline property is that ANY scene edit is a buffer write —
 never a shader recompile (reference README.md:7; renderer.rs:230-239 rewrites
 the tape buffer per frame). This framework reproduces that with the
-dynamic-tape interpreter, but its data-driven dispatch runs ~1.5-1.6x slower
-per frame than the static-tape compile of the same scene, and a static
+dynamic-tape interpreter, but its data-driven dispatch (macro-op form,
+ops.tape.macroize_streams) still runs ~1.4x slower per frame than the
+static-tape compile of the same scene, and a static
 compile of a NEW topology takes seconds on a real chip — far too long to
 block an interactive frame on.
 
