@@ -236,6 +236,53 @@ def tile_leaf_masks(
     return pack_mask_bits(active)
 
 
+def _pushed_rows(spec: TapeSpec) -> np.ndarray:
+    """Static bool[n_leaves]: rows actually referenced by a COP_PUSH in the
+    static tape. Bank PADDING rows (bucketed capacity beyond the real
+    leaves) carry zero params — a phantom radius-0 sphere at the origin —
+    and their bounding spheres can test active, so compaction must never
+    emit them."""
+    from . import opcodes as oc_
+
+    pushed = np.zeros(spec.n_leaves, bool)
+    for cop, arg, _slot in spec.static_tape or ():
+        if cop == oc_.COP_PUSH:
+            pushed[arg] = True
+    return pushed
+
+
+def compact_active_rows(spec: TapeSpec, mask_bits):
+    """Per-tile compacted active-leaf lists from packed bitmasks.
+
+    mask_bits: i32[T, ceil(L/32)] from tile_leaf_masks. Returns
+    (rows s32[T, n_leaves], counts s32[T, n_slices]): for type slice s =
+    (t, r0, r1), rows[:, r0:r1] holds that slice's row ids with the tile's
+    ACTIVE rows first (stable order), and counts[:, s] how many are active.
+    Kernels loop each slice to its runtime count (O(active) work; see
+    pallas_march._make_scene_eval_compact). Pure jnp on the runtime masks:
+    scene edits and camera motion recompact with zero recompilation."""
+    t_tiles = mask_bits.shape[0]
+    words = jax.lax.bitcast_convert_type(mask_bits, jnp.uint32)
+    bits = (
+        words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    ) & jnp.uint32(1)
+    active = bits.reshape(t_tiles, -1)[:, : spec.n_leaves] > 0
+    active = jnp.logical_and(active, jnp.asarray(_pushed_rows(spec))[None, :])
+    rows = jnp.zeros((t_tiles, spec.n_leaves), jnp.int32)
+    counts = []
+    for _t, r0, r1 in spec.type_slices:
+        a = active[:, r0:r1]
+        order = (
+            jnp.argsort(jnp.logical_not(a), axis=1, stable=True).astype(
+                jnp.int32
+            )
+            + r0
+        )
+        rows = rows.at[:, r0:r1].set(order)
+        counts.append(jnp.sum(a, axis=1, dtype=jnp.int32))
+    return rows, jnp.stack(counts, axis=1)
+
+
 # Max leaves per cull gate. The static-tape applier (ops.sdf) gates whole
 # SUBTREES of up to this many leaves with ONE scalar `lax.cond` each, not one
 # per leaf: scalar branches cost ~tens of ns each on the TPU scalar core, and

@@ -133,6 +133,67 @@ def _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz):
     raise ValueError(f"unknown leaf type {ltype}")
 
 
+def compactable_spec(spec: TapeSpec) -> bool:
+    """True when the static tape is a hard-union chain/tree of bare
+    primitives (every instruction COP_PUSH or COP_UNION). For such scenes
+    `min` over any subset ordering is bitwise-exact (fp min is associative
+    and commutative), so the scene can be evaluated from a per-tile
+    COMPACTED list of active leaves in O(active) — see
+    _make_scene_eval_compact. Materials don't matter here: this evaluator
+    only computes distances; the color winner runs through the static
+    color tree at hit pixels as before."""
+    if not spec.static_tape:
+        return False
+    return all(
+        cop in (oc.COP_PUSH, oc.COP_UNION)
+        for (cop, _arg, _slot) in spec.static_tape
+    )
+
+
+def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig):
+    """O(active-leaves) distance evaluator for union-of-primitives scenes.
+
+    Why this exists: per-tile leaf culling via scalar `lax.cond` gates does
+    not actually shrink the many-leaf kernels — measured at 64 leaves the
+    packed fine kernel costs the same ~10 us/grid-step whether the tile's
+    mask is full, empty, or the gates are restructured (GATE_MAX 4..64),
+    i.e. the O(n_leaves) unrolled body is paid regardless of the branches
+    around it. The robust fix is to make the work O(active) through DATA
+    instead of branches: the host compacts each tile's active-leaf mask
+    into a dense row list (culling.compact_active_rows) and the kernel
+    runs a fori_loop PER TYPE SLICE with a RUNTIME trip count = the tile's
+    active count, reading leaf rows indirectly from the prefetched list.
+    Code size is O(1) in n_leaves; executed work is O(active).
+
+    Exactness: identical active set as the gated path (same masks), FAR
+    for everything culled, and hard-union min is order-exact in fp — so
+    this agrees with the gated evaluator to the same guarantee
+    (ops.culling lemma) and with itself under any leaf ordering.
+
+    Returns scene_eval(lp_ref, clist_ref, ccount_ref, tid, px, py, pz).
+    `clist_ref` is s32[T, n_leaves] (bank layout: slice s's entries at its
+    own [start, stop) columns, active-first); `ccount_ref` is
+    s32[T, n_slices]."""
+    from .culling import FAR
+
+    slices = spec.type_slices
+
+    def scene_eval(lp_ref, clist_ref, ccount_ref, tid, px, py, pz):
+        d = px * 0.0 + FAR
+        for si, (t, r0, _r1) in enumerate(slices):
+            rotated = bool(spec.rotated_types[t])
+
+            def body(k, acc, _t=t, _r0=r0, _rot=rotated):
+                row = clist_ref[tid, _r0 + k]
+                dv = _leaf_distance_tile(lp_ref, row, _t, _rot, px, py, pz)
+                return jnp.minimum(acc, dv)
+
+            d = jax.lax.fori_loop(0, ccount_ref[tid, si], body, d)
+        return d
+
+    return scene_eval
+
+
 def _combine_branches():
     """Combine-op branch table, indexed by COP_* (pure; operates on tiles)."""
 
@@ -461,6 +522,58 @@ def _make_scene_color_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int
         return d, r, g, b
 
     return color_eval
+
+
+# Leaf count at and above which kernels trace the 4 tetrahedron normal taps
+# through ONE fori_loop body instead of unrolling 4 copies of the (gated,
+# O(n_leaves)-sized) scene evaluation. Mosaic inlines everything — there are
+# no subroutine calls — so each extra scene instantiation grows the program
+# linearly, and past IMEM capacity the core streams instructions per grid
+# step: at 64 leaves the packed fine kernel costs ~10 us/step even for tiles
+# whose every leaf is culled (measured; see ARCHITECTURE.md many-primitive
+# notes). Below the threshold the unrolled form stays: it lets Mosaic
+# software-pipeline the taps and the loop's carried tiles cost more than the
+# duplicated small-scene code.
+TAP_LOOP_MIN_LEAVES = 16
+
+
+def _tet_taps(scene, px, py, pz, eps, loop):
+    """Tetrahedron normal-gradient taps (reference wgsl:135-144): returns
+    unnormalized (nx, ny, nz) = sum_k k * scene(p + k*eps) over the 4
+    even-parity cube corners k. `loop=True` evaluates the 4 taps in a
+    fori_loop so the scene body is traced (and codegen'd) once; the
+    accumulation order and per-tap float ops match the unrolled form
+    exactly, so both forms produce bitwise-identical normals."""
+    if not loop:
+        nx = px * 0.0
+        ny = nx
+        nz = nx
+        for kx, ky, kz in (
+            (1.0, -1.0, -1.0),
+            (-1.0, -1.0, 1.0),
+            (-1.0, 1.0, -1.0),
+            (1.0, 1.0, 1.0),
+        ):
+            dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
+            nx = nx + kx * dval
+            ny = ny + ky * dval
+            nz = nz + kz * dval
+        return nx, ny, nz
+
+    def body(i, acc):
+        nx, ny, nz = acc
+        # Corner signs from the tap index: i=0 -> (+,-,-), 1 -> (-,-,+),
+        # 2 -> (-,+,-), 3 -> (+,+,+).
+        b0 = i & 1
+        b1 = i >> 1
+        kx = jnp.where(b0 == b1, 1.0, -1.0)
+        ky = jnp.where(b1 == 1, 1.0, -1.0)
+        kz = jnp.where(b0 == 1, 1.0, -1.0)
+        dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
+        return (nx + kx * dval, ny + ky * dval, nz + kz * dval)
+
+    z = px * 0.0
+    return jax.lax.fori_loop(0, 4, body, (z, z, z))
 
 
 def _march_tile(
@@ -1000,14 +1113,9 @@ def make_pallas_image_render(
         pz = oz + dz * t * hit
 
         # Tetrahedron normals: 4 taps (reference wgsl:135-144).
-        nx = dx * 0.0
-        ny = nx
-        nz = nx
-        for kx, ky, kz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0)):
-            dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
-            nx = nx + kx * dval
-            ny = ny + ky * dval
-            nz = nz + kz * dval
+        nx, ny, nz = _tet_taps(
+            scene, px, py, pz, eps, spec.n_leaves >= TAP_LOOP_MIN_LEAVES
+        )
         ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
         nx = nx * ninv
         ny = ny * ninv

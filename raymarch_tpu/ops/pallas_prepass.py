@@ -50,12 +50,21 @@ from ..config import RenderConfig
 from .tape import TapeArrays, TapeSpec
 from .pallas_march import (
     LANES,
+    TAP_LOOP_MIN_LEAVES,
     _leaf_static_rows,
     _make_scene_eval,
+    _make_scene_eval_compact,
     _scratch_shapes,
+    _tet_taps,
+    compactable_spec,
     compute_bound,
 )
-from .culling import leaf_bound_spheres, make_cull_reader, tile_leaf_masks
+from .culling import (
+    compact_active_rows,
+    leaf_bound_spheres,
+    make_cull_reader,
+    tile_leaf_masks,
+)
 
 BM_COARSE = 32
 BM_FINE = 128
@@ -610,10 +619,52 @@ def make_pallas_image_render_aa(
     n_mty = (Hp_pack + MH - 1) // MH
     cull_packed = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
 
+    # Compacted O(active)-leaf evaluation for hard-union-of-primitives
+    # scenes: branches around the unrolled static body do not shrink the
+    # many-leaf kernels (measured — see _make_scene_eval_compact), so for
+    # this scene class the kernels instead loop a runtime per-tile active
+    # count over host-compacted leaf lists. Same masks, same FAR lemma,
+    # fp-exact min reordering.
+    compact = bool(cfg.leaf_cull) and compactable_spec(spec)
+    scene_compact = (
+        _make_scene_eval_compact(spec, cfg) if compact else None
+    )
+    # Compacted lists live in SMEM (scalar-prefetch) and are n_leaves wide,
+    # so they get their own COARSER super-tile grids than the bitmasks: at
+    # full mask granularity a 4K band's two [360, 64] i32 lists alone blow
+    # the 1 MB SMEM budget (measured: 1.09M used). Conservative by
+    # construction — a bigger tile's cone contains its sub-tiles' cones.
+    # Adaptive granularity: start at the mask grids' granularity and
+    # coarsen whichever list is currently bigger (doubling its tile height)
+    # until both lists fit a fixed SMEM budget. Finer fine-lists matter
+    # more (the fine kernel dominates), so the coarse list usually coarsens
+    # first.
+    _LIST_SMEM_BUDGET = 96 * 1024
+    CLG = 1  # coarse-kernel list tile = CLG coarse grid rows
+    MHL = MH  # packed-fine list tile height in pixel rows
+    _fine_rows_total = Hp_pack if aa_packed else Hp
+
+    def _list_bytes(clg, mhl):
+        nc = (hb_p + bm_coarse * clg - 1) // (bm_coarse * clg)
+        nf = (_fine_rows_total + mhl - 1) // mhl
+        return (nc * n_ctx * spec.n_leaves * 4,
+                nf * n_ftx * spec.n_leaves * 4)
+
+    if compact:
+        cb, fb = _list_bytes(CLG, MHL)
+        while cb + fb > _LIST_SMEM_BUDGET:
+            if cb >= fb:
+                CLG *= 2
+            else:
+                MHL *= 2
+            cb, fb = _list_bytes(CLG, MHL)
+    n_clty = (hb_p + bm_coarse * CLG - 1) // (bm_coarse * CLG)
+    n_flty = (_fine_rows_total + MHL - 1) // MHL
+
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, *rest
+        cullc_ref, cullf_ref, clc_ref, ccc_ref, clf_ref, ccf_ref, *rest
     ):
         out_refs = rest[:n_pre]
         scratch = rest[n_pre:]
@@ -643,11 +694,18 @@ def make_pallas_image_render_aa(
 
         cull = cull_coarse(cullc_ref, ty, tx)
 
-        def scene(px, py, pz):
-            return scene_eval(
-                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
-                px, py, pz, cull=cull,
-            )
+        if compact:
+            def scene(px, py, pz):
+                return scene_compact(
+                    lp_ref, clc_ref, ccc_ref, (ty // CLG) * n_ctx + tx,
+                    px, py, pz,
+                )
+        else:
+            def scene(px, py, pz):
+                return scene_eval(
+                    lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                    px, py, pz, cull=cull,
+                )
 
         bnd = (
             (bnd_ref[0], bnd_ref[1], bnd_ref[2], bnd_ref[3], bnd_ref[4])
@@ -678,7 +736,8 @@ def make_pallas_image_render_aa(
 
     def coarse_px_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, tin_ref, sin_ref, t0_ref, st_ref, *scratch
+        cullc_ref, cullf_ref, clc_ref, ccc_ref, clf_ref, ccf_ref,
+        tin_ref, sin_ref, t0_ref, st_ref, *scratch
     ):
         # (flat pixel layout: tiles span image rows, so no useful cone —
         # culling stays off in this chained refinement pass)
@@ -718,7 +777,8 @@ def make_pallas_image_render_aa(
 
     def fine_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, *rest, emit_th=False, two_d=False,
+        cullc_ref, cullf_ref, clc_ref, ccc_ref, clf_ref, ccf_ref,
+        *rest, emit_th=False, two_d=False,
     ):
         pre_refs = rest[:n_pre]
         r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
@@ -782,11 +842,18 @@ def make_pallas_image_render_aa(
         oy = jnp.full((bm_fine, LANES), cam_ref[1], jnp.float32)
         oz = jnp.full((bm_fine, LANES), cam_ref[2], jnp.float32)
 
-        def scene(px, py, pz):
-            return scene_eval_f(
-                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
-                px, py, pz, cull=cull,
-            )
+        if compact and two_d:
+            def scene(px, py, pz):
+                return scene_compact(
+                    lp_ref, clf_ref, ccf_ref,
+                    ((ty * bm_fine) // MHL) * n_ftx + tx, px, py, pz,
+                )
+        else:
+            def scene(px, py, pz):
+                return scene_eval_f(
+                    lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                    px, py, pz, cull=cull,
+                )
 
         if no_prepass:
             # Strict reference semantics: every (in-image) AA ray sphere-
@@ -825,22 +892,12 @@ def make_pallas_image_render_aa(
                 nv_ref[:] = jnp.zeros_like(nv_ref)
 
         def _normal_taps(px, py, pz):
-            nx = px * 0.0
-            ny = nx
-            nz = nx
             if _dbg_skip_taps:
-                return nx + 1.0, ny, nz
-            for kx, ky, kz in (
-                (1.0, -1.0, -1.0),
-                (-1.0, -1.0, 1.0),
-                (-1.0, 1.0, -1.0),
-                (1.0, 1.0, 1.0),
-            ):
-                dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
-                nx = nx + kx * dval
-                ny = ny + ky * dval
-                nz = nz + kz * dval
-            return nx, ny, nz
+                z = px * 0.0
+                return z + 1.0, z, z
+            return _tet_taps(
+                scene, px, py, pz, eps, spec.n_leaves >= TAP_LOOP_MIN_LEAVES
+            )
 
         def do_surface():
             # _dbg_* knobs: WRONG-IMAGE bisection aids for kernel-time
@@ -1027,6 +1084,22 @@ def make_pallas_image_render_aa(
 
     def _scene_args(arrays: TapeArrays, cam_vec):
         mask_c, mask_f = _cull_masks(arrays, cam_vec)
+        if compact:
+            bounds = leaf_bound_spheres(spec, arrays, cfg)
+            mask_cl = tile_leaf_masks(
+                bounds, cam_vec, cfg, width, height, n_clty, n_ctx,
+                float(bm_coarse * bs * CLG), float(LANES * bs),
+                extra_angle=omega,
+            )
+            mask_fl = tile_leaf_masks(
+                bounds, cam_vec, cfg, width, height, n_flty, n_ftx,
+                float(MHL), float(LANES),
+            )
+            clc, ccc = compact_active_rows(spec, mask_cl)
+            clf, ccf = compact_active_rows(spec, mask_fl)
+        else:
+            clc = clf = jnp.zeros((1, 1), jnp.int32)
+            ccc = ccf = jnp.zeros((1, 1), jnp.int32)
         return (
             jnp.asarray(arrays.macro_ops),
             jnp.asarray(arrays.macro_arg),
@@ -1037,6 +1110,10 @@ def make_pallas_image_render_aa(
             jnp.asarray(cam_vec, jnp.float32),
             mask_c,
             mask_f,
+            clc,
+            ccc,
+            clf,
+            ccf,
         )
 
     def run_coarse(scene_args):
@@ -1046,7 +1123,7 @@ def make_pallas_image_render_aa(
             memory_space=pltpu.VMEM,
         )
         coarse_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
+            num_scalar_prefetch=13,
             grid=(hb_p // bm_coarse, wb_p // LANES),
             in_specs=[],
             out_specs=[blk] * n_pre,
@@ -1084,7 +1161,7 @@ def make_pallas_image_render_aa(
             # cone's stop distance instead of the camera).
             assert n_pad % (bm_coarse * LANES) == 0
             px_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=9,
+                num_scalar_prefetch=13,
                 grid=(n_pad // (bm_coarse * LANES),),
                 in_specs=[
                     pl.BlockSpec(
@@ -1166,7 +1243,7 @@ def make_pallas_image_render_aa(
             ]
             kernel = functools.partial(fine_kernel, emit_th=True, two_d=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
+            num_scalar_prefetch=13,
             grid=(Hp // bm_fine, Wp // LANES, S),
             in_specs=[blk] * n_pre,
             out_specs=out_specs,
@@ -1191,7 +1268,8 @@ def make_pallas_image_render_aa(
     # sublane u = local_pixel_row * S + sample. See the builder docstring.
     def fine_packed_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, bnd_ref, cam_ref,
-        cullc_ref, cullf_ref, *rest, emit_th=False,
+        cullc_ref, cullf_ref, clc_ref, ccc_ref, clf_ref, ccf_ref,
+        *rest, emit_th=False,
     ):
         pre_refs = rest[:n_pre]
         r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
@@ -1230,11 +1308,18 @@ def make_pallas_image_render_aa(
         # Mask rows are 64-pixel-row super-tiles (see geometry block above).
         cull = cull_packed(cullf_ref, (ty * aa_pack) // MH, tx)
 
-        def scene(px, py_, pz):
-            return scene_eval_f(
-                lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
-                px, py_, pz, cull=cull,
-            )
+        if compact:
+            def scene(px, py_, pz):
+                return scene_compact(
+                    lp_ref, clf_ref, ccf_ref,
+                    ((ty * aa_pack) // MHL) * n_ftx + tx, px, py_, pz,
+                )
+        else:
+            def scene(px, py_, pz):
+                return scene_eval_f(
+                    lp_ref, ops_ref, arg_ref, slot_ref, opp_ref, scratch,
+                    px, py_, pz, cull=cull,
+                )
 
         def up(v):
             # Per-pixel prepass plane (aa_pack, LANES) -> per-ray (TS, LANES)
@@ -1278,19 +1363,10 @@ def make_pallas_image_render_aa(
             pz = oz + dz * t * hit
 
             def shade_hit():
-                nx = dx * 0.0
-                ny = nx
-                nz = nx
-                for kx, ky, kz in (
-                    (1.0, -1.0, -1.0),
-                    (-1.0, -1.0, 1.0),
-                    (-1.0, 1.0, -1.0),
-                    (1.0, 1.0, 1.0),
-                ):
-                    dval = scene(px + kx * eps, py_ + ky * eps, pz + kz * eps)
-                    nx = nx + kx * dval
-                    ny = ny + ky * dval
-                    nz = nz + kz * dval
+                nx, ny, nz = _tet_taps(
+                    scene, px, py_, pz, eps,
+                    spec.n_leaves >= TAP_LOOP_MIN_LEAVES,
+                )
                 ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
                 tlx = px - lx_
                 tly = py_ - ly_
@@ -1393,7 +1469,7 @@ def make_pallas_image_render_aa(
             ]
             kernel = functools.partial(fine_packed_kernel, emit_th=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
+            num_scalar_prefetch=13,
             grid=(n_pty, Wp // LANES),
             in_specs=[blk] * n_pre,
             out_specs=out_specs,

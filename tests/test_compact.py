@@ -1,0 +1,152 @@
+"""Compacted O(active)-leaf evaluation for union-of-primitives scenes.
+
+The per-tile cull masks are compacted (host-side, jnp) into dense
+active-leaf row lists and the Pallas kernels loop a RUNTIME per-tile count
+instead of unrolling the O(n_leaves) static body — see
+ops.pallas_march._make_scene_eval_compact for why branches around the
+unrolled body do not shrink many-leaf kernels on TPU. Hard-union min is
+order-exact in fp, so the compacted evaluation introduces no reorder error;
+remaining differences vs the un-culled render come only from culling itself
+(FAR substitution perturbs off-surface march SAMPLES within the
+ops.culling lemma's tolerance class — hits and on-surface values agree),
+so images match to the same tolerance the gated-cull tests use.
+"""
+
+import dataclasses as dc
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import raymarch_tpu as rm
+from raymarch_tpu.ops import culling
+from raymarch_tpu.ops.pallas_march import compactable_spec
+from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+
+def _mixed_union_scene():
+    return (
+        rm.sphere(center=(-0.6, 0.0, 0.0), radius=0.9)
+        | rm.box(center=(0.8, 0.0, 0.0), half_extents=(0.5, 0.5, 0.5))
+        | rm.torus(center=(0.0, 0.9, 0.0), major_radius=0.6, minor_radius=0.2)
+        | rm.capsule(center=(1.8, 0.3, -1.0), radius=0.25, half_height=0.5)
+        | rm.box(
+            center=(-1.8, 0.2, -0.8),
+            half_extents=(0.3, 0.3, 0.3),
+            rotation=(0.9238795, 0.0, 0.3826834, 0.0),
+        )
+    )
+
+
+def _cam_vec(cam):
+    return jnp.asarray(
+        np.concatenate([cam.position, cam.rotation, [0.0]]).astype(np.float32)
+    )
+
+
+def test_compactable_detection():
+    spec_u, _ = rm.compile_scene(_mixed_union_scene(), static=True)
+    assert compactable_spec(spec_u)
+    # subtraction => not a pure union chain => not compactable
+    s = rm.sphere(radius=1.0) - rm.box(half_extents=(0.4, 0.4, 0.4))
+    spec_s, _ = rm.compile_scene(s, static=True)
+    assert not compactable_spec(spec_s)
+    # dynamic tape has no static tree to compact
+    spec_d, _ = rm.compile_scene(_mixed_union_scene(), static=False)
+    assert not compactable_spec(spec_d)
+
+
+def test_compact_rows_exclude_padding_and_order_active_first():
+    spec, arrays = rm.compile_scene(_mixed_union_scene(), static=True)
+    cfg = dc.replace(rm.DEFAULT_CONFIG, leaf_cull=True)
+    cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
+    bounds = culling.leaf_bound_spheres(spec, arrays, cfg)
+    masks = culling.tile_leaf_masks(
+        bounds, _cam_vec(cam), cfg, 256, 144, 3, 2, 48.0, 128.0
+    )
+    rows, counts = culling.compact_active_rows(spec, masks)
+    rows = np.asarray(rows)
+    counts = np.asarray(counts)
+    pushed = culling._pushed_rows(spec)
+    assert counts.shape == (6, len(spec.type_slices))
+    for t_idx in range(rows.shape[0]):
+        for si, (_t, r0, r1) in enumerate(spec.type_slices):
+            seg = rows[t_idx, r0:r1]
+            c = counts[t_idx, si]
+            assert 0 <= c <= r1 - r0
+            # the first c entries are real (pushed) rows of this slice
+            assert all(r0 <= r < r1 for r in seg[:c])
+            assert all(pushed[r] for r in seg[:c])
+            # padding rows (never pushed) must not be listed as active
+            assert len(set(seg[:c])) == c
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(prepass_block=1, n_intervals=2, aa_packed=True),
+        dict(prepass_block=1, aa_packed=True),
+        dict(prepass_block=1, n_intervals=2, aa_packed=False),
+        dict(no_prepass=True, aa_packed=True),
+    ],
+)
+def test_compact_render_matches_uncull(kw):
+    spec, arrays = rm.compile_scene(_mixed_union_scene(), static=True)
+    cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(
+        rm.DEFAULT_CONFIG,
+        bound_accel=True,
+        exit_check_every=4,
+        relax=1.6,
+        leaf_cull=True,
+    )
+    cfg_off = dc.replace(cfg_on, leaf_cull=False)
+    r_on = make_pallas_image_render_aa(
+        spec, cfg_on, 256, 144, interpret=True, **kw
+    )
+    r_off = make_pallas_image_render_aa(
+        spec, cfg_off, 256, 144, interpret=True, **kw
+    )
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(r_off(arrays, cv))
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def test_compact_render_64_spheres_matches():
+    rng = np.random.default_rng(7)
+    parts = []
+    for _ in range(24):
+        c = rng.uniform(-3, 3, 3)
+        c[1] = rng.uniform(-1.0, 1.5)
+        parts.append(
+            rm.sphere(center=tuple(c), radius=float(rng.uniform(0.15, 0.5)))
+        )
+    scene = parts[0]
+    for p in parts[1:]:
+        scene = scene | p
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.0, 2.5, 9.0), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(
+        rm.DEFAULT_CONFIG,
+        bound_accel=True,
+        exit_check_every=4,
+        relax=1.6,
+        leaf_cull=True,
+    )
+    cfg_off = dc.replace(cfg_on, leaf_cull=False)
+    kw = dict(prepass_block=1, n_intervals=2, aa_packed=True)
+    a = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_on, 192, 108, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 192, 108, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
