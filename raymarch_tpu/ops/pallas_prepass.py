@@ -653,7 +653,11 @@ def make_pallas_image_render_aa(
     if compact:
         cb, fb = _list_bytes(CLG, MHL)
         while cb + fb > _LIST_SMEM_BUDGET:
-            if cb >= fb:
+            # Prefer coarsening the coarse-kernel list (its cones are
+            # blockier anyway); only coarsen the fine list once the coarse
+            # one is much smaller. Measured at 1080p/64 leaves: keeping the
+            # fine list at MH granularity is worth ~2 ms/frame.
+            if 2 * cb >= fb:
                 CLG *= 2
             else:
                 MHL *= 2
