@@ -614,8 +614,12 @@ def make_pallas_image_render_aa(
     # Mosaic's scoped SMEM charges each prefetched mask ROW per grid step,
     # so per-strip masks at 1080p (2025 rows) blow the 1MB SMEM budget
     # (measured); 64-row super-tiles keep the row count at the bm=64 level
-    # with the same tightness the unpacked kernel has.
-    MH = 64
+    # with the same tightness the unpacked kernel has. The floor is raised
+    # to aa_pack so each packed kernel tile (aa_pack pixel rows) lies inside
+    # exactly ONE mask super-tile — with aa_samples=1, aa_pack=128 > 64 and
+    # a 64-row mask would cover only the strip's upper half (the lower rows
+    # would consult the wrong tile's mask and drop visible leaves).
+    MH = max(64, aa_pack)
     n_mty = (Hp_pack + MH - 1) // MH
     cull_packed = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
 
@@ -641,7 +645,15 @@ def make_pallas_image_render_aa(
     # first.
     _LIST_SMEM_BUDGET = 96 * 1024
     CLG = 1  # coarse-kernel list tile = CLG coarse grid rows
-    MHL = MH  # packed-fine list tile height in pixel rows
+    # Fine-list super-tile height in PIXEL rows. Floor = the fine kernel's
+    # tile height (bm_fine pixel rows unpacked, aa_pack packed), so every
+    # kernel tile lies inside exactly ONE list super-tile — the kernels
+    # index the list at (tile_row_base // MHL) once per tile, and a tile
+    # straddling two super-tiles would evaluate its lower rows against the
+    # upper half's list, silently FAR-substituting visible leaves. All
+    # heights here are powers of two, so the max() stays a multiple of the
+    # tile height and doublings preserve that.
+    MHL = max(MH, aa_pack) if aa_packed else max(MH, bm_fine)
     _fine_rows_total = Hp_pack if aa_packed else Hp
 
     def _list_bytes(clg, mhl):
@@ -657,7 +669,16 @@ def make_pallas_image_render_aa(
             # blockier anyway); only coarsen the fine list once the coarse
             # one is much smaller. Measured at 1080p/64 leaves: keeping the
             # fine list at MH granularity is worth ~2 ms/frame.
-            if 2 * cb >= fb:
+            can_c = bm_coarse * CLG < hb_p  # coarse grid still > 1 list row
+            can_f = MHL < _fine_rows_total  # fine grid still > 1 list row
+            if not (can_c or can_f):
+                # Even one-list-per-grid floors exceed the SMEM budget
+                # (list width is n_leaves and cannot shrink): fall back to
+                # the gated O(L) evaluator instead of looping forever.
+                compact = False
+                scene_compact = None
+                break
+            if can_c and (2 * cb >= fb or not can_f):
                 CLG *= 2
             else:
                 MHL *= 2
@@ -1496,6 +1517,11 @@ def make_pallas_image_render_aa(
         if aa_packed:
             return run_fine_packed(scene_args, pre)
         return run_fine(scene_args, pre)
+
+    # Introspection: did this build take the compacted O(active) path?
+    # (False when the scene is not foldable or the list SMEM floors exceed
+    # the budget and the builder fell back to the gated evaluator.)
+    render.compact = compact
 
     # Exposed for instrumentation / custom pipelines. `pre` is the prepass
     # plane list: [t0, status] (legacy) or NI (start, end) pairs.

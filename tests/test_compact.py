@@ -74,10 +74,11 @@ def test_compact_rows_exclude_padding_and_order_active_first():
             seg = rows[t_idx, r0:r1]
             c = counts[t_idx, si]
             assert 0 <= c <= r1 - r0
-            # the first c entries are real (pushed) rows of this slice
+            # the first c entries are real (pushed) rows of this slice;
+            # padding rows (never pushed) must not be listed as active
             assert all(r0 <= r < r1 for r in seg[:c])
             assert all(pushed[r] for r in seg[:c])
-            # padding rows (never pushed) must not be listed as active
+            # no row may be listed twice (count inflation)
             assert len(set(seg[:c])) == c
 
 
@@ -150,3 +151,91 @@ def test_compact_render_64_spheres_matches():
     )
     d = np.abs(a - b)
     assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def _two_band_scene():
+    """Two spheres whose cull footprints are confined to pixel rows
+    [64, 128) and [160, 208) of a 256-row image seen from (0, 0, 5):
+    regression scene for the list-super-tile indexing bug (a 128-row kernel
+    tile consulting only the 64-row list of its UPPER half silently dropped
+    leaves visible in the lower half)."""
+    return rm.sphere(center=(0.0, 0.5, 0.0), radius=0.15) | rm.sphere(
+        center=(0.0, -0.55, 0.0), radius=0.15
+    )
+
+
+def _band_cam_vec():
+    cam = rm.Camera.looking_at(position=(0.0, 0.0, 5.0), target=(0, 0, 0))
+    return _cam_vec(cam)
+
+
+def test_compact_list_supertile_covers_full_unpacked_tile():
+    # bm_fine = 128 (small scene) but fine-list super-tiles used to start at
+    # 64 pixel rows: the tile's lower half read the WRONG list and dropped
+    # leaves confined there. Height 256 = 2 kernel tiles; sphere B sits in
+    # rows [64, 128) -- the failing half under the old indexing.
+    spec, arrays = rm.compile_scene(_two_band_scene(), static=True)
+    cv = _band_cam_vec()
+    import dataclasses as _dc
+
+    cfg_on = _dc.replace(rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True)
+    cfg_off = _dc.replace(cfg_on, leaf_cull=False)
+    kw = dict(no_prepass=True, aa_packed=False)
+    r_on = make_pallas_image_render_aa(spec, cfg_on, 128, 256, interpret=True, **kw)
+    assert r_on.compact
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 128, 256, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    # Both spheres must be present: the scene is dark-on-dark if dropped.
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def test_compact_list_supertile_covers_full_packed_strip_aa1():
+    # aa_samples=1 => aa_pack = 128 pixel rows per packed strip, which used
+    # to exceed both the mask (MH=64) and list (MHL=64) super-tile heights:
+    # the strip's lower half consulted the wrong tile's mask/list.
+    spec, arrays = rm.compile_scene(_two_band_scene(), static=True)
+    cv = _band_cam_vec()
+    import dataclasses as _dc
+
+    cfg_on = _dc.replace(rm.DEFAULT_CONFIG, aa_samples=1, leaf_cull=True)
+    cfg_off = _dc.replace(cfg_on, leaf_cull=False)
+    kw = dict(no_prepass=True, aa_packed=True)
+    r_on = make_pallas_image_render_aa(spec, cfg_on, 128, 256, interpret=True, **kw)
+    assert r_on.compact
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 128, 256, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def test_compact_smem_budget_floor_falls_back_instead_of_hanging():
+    # With enough leaves, even one-list-per-grid floors exceed the SMEM
+    # budget (list width = n_leaves cannot shrink); the builder must fall
+    # back to the gated evaluator, not loop forever coarsening rows.
+    rng = np.random.default_rng(3)
+    parts = [
+        rm.sphere(center=tuple(rng.uniform(-8, 8, 3)), radius=0.3)
+        for _ in range(1000)
+    ]
+    while len(parts) > 1:  # balanced tree: a 1000-deep chain blows recursion
+        parts = [
+            parts[i] | parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    spec, _arrays = rm.compile_scene(parts[0], static=True)
+    import dataclasses as _dc
+
+    cfg = _dc.replace(rm.DEFAULT_CONFIG, leaf_cull=True)
+    r = make_pallas_image_render_aa(
+        spec, cfg, 4096, 128, interpret=True, no_prepass=True, aa_packed=False
+    )
+    assert not r.compact  # fell back; factory returned (did not hang)
