@@ -164,6 +164,104 @@ def main():
         file=sys.stderr,
     )
 
+    # --- secondary: 64-primitive MIXED-ops scene ----------------------------
+    # Smooth unions and subtractions over the hard-union bulk: the general
+    # scene class of the segmented compact plan (pallas_march.
+    # build_compact_plan) — the many-primitive number must hold beyond the
+    # pure-union best case.
+    partsm = []
+    for _ in range(48):
+        c = rng64.uniform(-3, 3, 3)
+        c[1] = rng64.uniform(-1.0, 1.5)
+        partsm.append(
+            rm.sphere(center=tuple(c), radius=float(rng64.uniform(0.15, 0.5)))
+        )
+    scene_m = partsm[0]
+    for p in partsm[1:]:
+        scene_m = scene_m | p
+    for _ in range(8):
+        c = rng64.uniform(-2.5, 2.5, 3)
+        c[1] = rng64.uniform(-0.8, 1.2)
+        scene_m = scene_m.union(
+            rm.sphere(center=tuple(c), radius=float(rng64.uniform(0.2, 0.45))),
+            k=float(rng64.uniform(0.1, 0.3)),
+        )
+    for _ in range(4):
+        c = rng64.uniform(-2.5, 2.5, 3)
+        c[1] = rng64.uniform(-0.8, 1.2)
+        scene_m = scene_m - rm.sphere(
+            center=tuple(c), radius=float(rng64.uniform(0.3, 0.6))
+        )
+    for _ in range(4):
+        c = rng64.uniform(-2.5, 2.5, 3)
+        c[1] = rng64.uniform(-0.8, 1.2)
+        scene_m = scene_m.subtract(
+            rm.sphere(center=tuple(c), radius=float(rng64.uniform(0.3, 0.6))),
+            k=float(rng64.uniform(0.1, 0.25)),
+        )
+    spec_m, arrays_m = rm.compile_scene(scene_m, static=True)
+    rnd_m = make_pallas_image_render_aa(
+        spec_m, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
+    )
+    assert rnd_m.compact, "mixed-ops scene must take the compacted path"
+    fm = jax.jit(lambda a, c: jnp.sum(rnd_m(a, c)))
+    dt_m, _ = timeit(fm, arrays_m, cam64_vec)
+    print(
+        f"64-primitive smooth-CHAIN render (global coupling worst case): "
+        f"{dt_m*1e3:.2f} ms/frame, {n_rays/dt_m/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # 64-leaf CLUSTER scene: 16 spatially-local clusters of (base sphere
+    # smooth-unioned with a blob, smooth-subtracted dent) + 16 bare
+    # spheres, all hard-unioned — the representative mixed-op scene class
+    # (blends as local design features). Path-aware per-leaf cull bounds
+    # (culling._leaf_op_incidence) + the multi-segment stream fold keep
+    # this O(active-local); the chain row above is the honest
+    # everything-coupled worst case where sum-k activity is math-mandated.
+    clparts = []
+    for _ in range(16):
+        c = rng64.uniform(-3, 3, 3)
+        c[1] = rng64.uniform(-1.0, 1.5)
+        base = rm.sphere(
+            center=tuple(c), radius=float(rng64.uniform(0.25, 0.5))
+        )
+        off = rng64.uniform(-0.35, 0.35, 3)
+        blob = rm.sphere(
+            center=tuple(c + off), radius=float(rng64.uniform(0.15, 0.3))
+        )
+        dent = rm.sphere(
+            center=tuple(c - off), radius=float(rng64.uniform(0.15, 0.3))
+        )
+        clparts.append(
+            base.union(blob, k=float(rng64.uniform(0.1, 0.25))).subtract(
+                dent, k=float(rng64.uniform(0.1, 0.2))
+            )
+        )
+    for _ in range(16):
+        c = rng64.uniform(-3, 3, 3)
+        c[1] = rng64.uniform(-1.0, 1.5)
+        clparts.append(
+            rm.sphere(center=tuple(c), radius=float(rng64.uniform(0.15, 0.5)))
+        )
+    scene_cl = clparts[0]
+    for p in clparts[1:]:
+        scene_cl = scene_cl | p
+    spec_cl, arrays_cl = rm.compile_scene(scene_cl, static=True)
+    rnd_cl = make_pallas_image_render_aa(
+        spec_cl, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
+    )
+    assert rnd_cl.compact, "cluster scene must take the compacted path"
+    fcl = jax.jit(lambda a, c: jnp.sum(rnd_cl(a, c)))
+    dt_cl, _ = timeit(fcl, arrays_cl, cam64_vec)
+    print(
+        f"64-primitive MIXED cluster render (stream compact plan): "
+        f"{dt_cl*1e3:.2f} ms/frame, {n_rays/dt_cl/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
     # BASELINE config 5 at full 4K on the single chip, rendered as 3 row
     # bands of 720 (the row-sharded multi-chip structure; also keeps the
     # per-kernel grid small enough for SMEM — Mosaic's scoped SMEM grows

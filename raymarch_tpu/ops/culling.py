@@ -44,6 +44,7 @@ recompilation — masks are *data*, like the tape itself.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -64,13 +65,55 @@ _ANGLE_MARGIN = 1e-4  # radians, absorbs f32 trig slop
 _RADIUS_MARGIN = 1e-3
 
 
+@functools.lru_cache(maxsize=None)
+def _leaf_op_incidence(spec: TapeSpec):
+    """Static f32[n_leaves, n_instr] incidence: op i lies on the path from
+    leaf row r to the tape root. A culled leaf's FAR substitute flows ONLY
+    through its path ops — every other op combines operands that do not
+    contain the leaf's value at all — so the blend-radius inflation a leaf
+    needs (module docstring) is the sum of |op_param| over its PATH, not
+    over the whole tape. For scenes whose smooth blends are local design
+    features (a blob smoothed onto one cluster) this collapses the
+    inflation from sum-of-all-k to the cluster's own k, which is what keeps
+    O(active) evaluation O(active) on mixed-op many-primitive scenes.
+    Returns None for dynamic tapes (no static tree — callers fall back to
+    the global sum, the old conservative behavior)."""
+    if spec.static_tape is None:
+        return None
+    from .sdf import _static_tree
+
+    root = _static_tree(spec)
+    if root is None:
+        return None
+    M = np.zeros((spec.n_leaves, spec.n_instr), np.float32)
+
+    def walk(node, path):
+        kind, i, payload, _rows = node
+        if kind == "leaf":
+            M[payload, path] = 1.0
+            return
+        # Hard binary ops carry op_param == 0, so including every path op
+        # (not just smooth ones) adds nothing for them and stays correct
+        # if a param class is ever added.
+        if kind in (oc.COP_ROUND, oc.COP_ONION):
+            walk(payload[0], path + [i])
+            return
+        for c in payload:
+            walk(c, path + [i])
+
+    walk(root, [])
+    return M
+
+
 def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
     """Conservative inflated bounding spheres for every leaf bank row.
 
     Returns f32[n_leaves, 5] rows (cx, cy, cz, r_inflated, bounded) where
     bounded=0 marks leaves with no finite bound (planes) — those are always
     active. Same per-type radii as ops.pallas_march.compute_bound; rotation
-    never changes them (all formulas are rotation-invariant norms).
+    never changes them (all formulas are rotation-invariant norms). The
+    blend-radius inflation is PER LEAF (path ops only, _leaf_op_incidence)
+    for static tapes; dynamic tapes use the global sum.
     """
     lp = jnp.asarray(arrays.leaf_params)
     n = spec.n_leaves
@@ -97,12 +140,10 @@ def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
         [r_sphere, r_box, r_torus, r_cyl, r_cap, r_cone],
         default=r_sphere,
     )
-    expand = (
-        jnp.sum(jnp.abs(jnp.asarray(arrays.op_param)))
-        + cfg.min_dist
-        + 8.0 * cfg.normal_eps
-        + _RADIUS_MARGIN
-    )
+    opp_abs = jnp.abs(jnp.asarray(arrays.op_param))
+    M = _leaf_op_incidence(spec)
+    ksum = jnp.sum(opp_abs) if M is None else jnp.asarray(M) @ opp_abs
+    expand = ksum + cfg.min_dist + 8.0 * cfg.normal_eps + _RADIUS_MARGIN
     bounded = jnp.where(types_a == oc.LEAF_PLANE, 0.0, 1.0)
     return jnp.concatenate(
         [
@@ -249,6 +290,46 @@ def _pushed_rows(spec: TapeSpec) -> np.ndarray:
         if cop == oc_.COP_PUSH:
             pushed[arg] = True
     return pushed
+
+
+def _active_from_mask(spec: TapeSpec, mask_bits):
+    """Unpack tile bitmasks to bool[T, n_leaves], padding rows forced off."""
+    t_tiles = mask_bits.shape[0]
+    words = jax.lax.bitcast_convert_type(mask_bits, jnp.uint32)
+    bits = (
+        words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    ) & jnp.uint32(1)
+    active = bits.reshape(t_tiles, -1)[:, : spec.n_leaves] > 0
+    return jnp.logical_and(active, jnp.asarray(_pushed_rows(spec))[None, :])
+
+
+def compact_plan_rows(spec: TapeSpec, plan, mask_bits):
+    """Per-tile compacted active-item lists for a segmented compact plan
+    (pallas_march.build_compact_plan).
+
+    mask_bits: i32[T, ceil(L/32)] from tile_leaf_masks. Returns
+    (entries s32[T, plan.n_items], counts s32[T, plan.n_counts]): group g's
+    columns [offset, offset+len) hold its packed entries with the tile's
+    ACTIVE items first in their original order (stable compaction — the
+    ordered-fold groups rely on relative order being preserved), and
+    counts[:, g] how many are active. Pure jnp on the runtime masks: scene
+    edits and camera motion recompact with zero recompilation."""
+    active = _active_from_mask(spec, mask_bits)
+    lists = []
+    counts = []
+    for g in plan["groups"]:
+        idx = jnp.asarray(np.asarray(g["rows"], np.int32))
+        a = active[:, idx]  # [T, G]
+        order = jnp.argsort(
+            jnp.logical_not(a), axis=1, stable=True
+        ).astype(jnp.int32)
+        ent = jnp.asarray(np.asarray(g["entries"], np.int32))
+        lists.append(jnp.take(ent, order, axis=0))
+        counts.append(jnp.sum(a, axis=1, dtype=jnp.int32))
+    return (
+        jnp.concatenate(lists, axis=1),
+        jnp.stack(counts, axis=1),
+    )
 
 
 def compact_active_rows(spec: TapeSpec, mask_bits):

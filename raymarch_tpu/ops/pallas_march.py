@@ -133,25 +133,305 @@ def _leaf_distance_tile(lp_ref, row, ltype, rotated, px, py, pz):
     raise ValueError(f"unknown leaf type {ltype}")
 
 
-def compactable_spec(spec: TapeSpec) -> bool:
-    """True when the static tape is a hard-union chain/tree of bare
-    primitives (every instruction COP_PUSH or COP_UNION). For such scenes
-    `min` over any subset ordering is bitwise-exact (fp min is associative
-    and commutative), so the scene can be evaluated from a per-tile
-    COMPACTED list of active leaves in O(active) — see
-    _make_scene_eval_compact. Materials don't matter here: this evaluator
-    only computes distances; the color winner runs through the static
-    color tree at hit pixels as before."""
-    if not spec.static_tape:
-        return False
-    return all(
-        cop in (oc.COP_PUSH, oc.COP_UNION)
-        for (cop, _arg, _slot) in spec.static_tape
+# --- segmented O(active) compaction plan -----------------------------------
+#
+# Generalization of the round-3 pure-union compacted evaluator: the static
+# tape is SEGMENTED into maximal subtrees expressible as a LEFT-FOLD
+#
+#     acc_0 = FAR;  acc_{j+1} = step(acc_j, leaf(row_j), mode_j, k_j)
+#
+# where step is one of
+#     mode 0 (hard union):        min(acc, d)
+#     mode 1 (smooth union):      smooth_min(acc, d, k)
+#     mode 2 (hard subtraction):  max(acc, -d)
+#     mode 3 (smooth subtraction): smooth_max(acc, -d, k)
+#
+# and the residual combine structure around the segments stays unrolled.
+# The fold admits exact per-item SKIPPING of culled leaves, which is what
+# makes a per-tile compacted active-item list valid:
+#     min(acc, FAR) = acc;  max(acc, -FAR) = acc;
+#     smooth_min(acc, FAR, k) = acc and smooth_max(acc, -FAR, k) = acc
+#       exactly, because |FAR -+ acc| >= k always (iq's quadratic blends
+#       equal the hard op outside the k-band; ops.culling FAR >> max k),
+# so dropping a culled item leaves every later fold step bitwise unchanged.
+# A subtree linearizes iff:
+#   - hard-union joins have at most ONE order-sensitive side (the fold is
+#     a single accumulator; two smooth/sub-containing operands would need
+#     two). Plain sides reorder freely: fp min is associative+commutative.
+#   - each smooth op's RIGHT operand is a bare leaf (the blend applies to
+#     the whole accumulator, so the right side cannot itself be a fold).
+#   - a hard subtraction's right operand folds to plain-union items
+#     (max(acc, -min(c, d)) == max(max(acc, -c), -d) bitwise).
+# Items before the first / after the last order-sensitive item are
+# order-FREE and get type-grouped straight-line loop bodies (the fast
+# path); the sensitive middle runs an ordered fold with a per-item
+# lax.switch over leaf types. Pure-union scenes produce exactly one
+# all-free segment — the round-3 behavior and performance.
+
+_SEG_PLAIN, _SEG_SMOOTH, _SEG_SUB, _SEG_SSUB = 0, 1, 2, 3
+
+
+def _pack_seg_entry(row: int, tsel: int, mode: int, sid: int, kidx: int) -> int:
+    """List-entry packing: row | tsel<<10 | mode<<13 | sid<<15 | (kidx+1)<<18.
+    kidx = -1 marks "no op_param" (hard modes). `sid` is the stream
+    segment id MOD 8 — it only needs to distinguish ADJACENT segments in a
+    multi-segment stream (see the stream evaluator), and compaction
+    preserves item order, so 3 bits suffice for any segment count."""
+    assert 0 <= row < 1024 and 0 <= tsel < 8 and 0 <= mode < 4
+    assert 0 <= sid < 8 and -1 <= kidx < (1 << 13) - 1
+    return (
+        row | (tsel << 10) | (mode << 13) | (sid << 15) | ((kidx + 1) << 18)
     )
 
 
-def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig):
-    """O(active-leaves) distance evaluator for union-of-primitives scenes.
+def _lin_subtree(node):
+    """Try to linearize a static-tree node into fold items.
+
+    Returns (items, sensitive) with items = [(row, kidx, mode)], or None
+    when the subtree has no exact fold (see the module comment)."""
+    kind, i, payload, _rows = node
+    if kind == "leaf":
+        return [(payload, -1, _SEG_PLAIN)], False
+    if kind == oc.COP_UNION:
+        la = _lin_subtree(payload[0])
+        lb = _lin_subtree(payload[1])
+        if la is None or lb is None:
+            return None
+        ia, sa = la
+        ib, sb = lb
+        if sa and sb:
+            return None
+        if sb:
+            ia, ib, sa = ib, ia, sb
+        return ia + ib, sa
+    if kind == oc.COP_SMOOTH_UNION:
+        b = payload[1]
+        if b[0] != "leaf":
+            return None
+        la = _lin_subtree(payload[0])
+        if la is None:
+            return None
+        return la[0] + [(b[2], i, _SEG_SMOOTH)], True
+    if kind == oc.COP_SUBTRACTION:
+        lb = _lin_subtree(payload[1])
+        if lb is None or lb[1]:  # right side must be plain-union items
+            return None
+        la = _lin_subtree(payload[0])
+        if la is None:
+            return None
+        return la[0] + [(r, -1, _SEG_SUB) for (r, _k, _m) in lb[0]], True
+    if kind == oc.COP_SMOOTH_SUBTRACTION:
+        b = payload[1]
+        if b[0] != "leaf":
+            return None
+        la = _lin_subtree(payload[0])
+        if la is None:
+            return None
+        return la[0] + [(b[2], i, _SEG_SSUB)], True
+    return None
+
+
+def _split_sensitive(items):
+    """items -> (plain_prefix, sensitive_middle, plain_suffix)."""
+    sens = [j for j, (_r, _k, m) in enumerate(items) if m != _SEG_PLAIN]
+    if not sens:
+        return items, [], []
+    return items[: sens[0]], items[sens[0] : sens[-1] + 1], items[sens[-1] + 1 :]
+
+
+@functools.lru_cache(maxsize=None)
+def build_compact_plan(spec: TapeSpec):
+    """Static analysis: tape -> compact plan dict, or None.
+
+    Plan layout (all leaf/row/op content static; only the per-tile active
+    sets are runtime data):
+      pool     — group indices of the GLOBAL free pool: every root-level
+                 hard-union operand that folds to plain items, plus the
+                 plain SUFFIXES of sensitive root operands (a suffix
+                 commutes out through the root min). One type-grouped
+                 straight-line loop each — the fast path.
+      seg1     — single sensitive root operand: its plain prefix as
+                 per-segment free groups + one ordered group (the prefix
+                 must finish before the ordered fold, so it cannot join
+                 the global pool).
+      stream   — >=2 sensitive root operands: ALL their prefix+ordered
+                 items in ONE sid-tagged ordered group; the evaluator runs
+                 them in a single fori_loop with (acc_out, acc_seg)
+                 carries, folding acc_seg into acc_out at each segment
+                 boundary (sid change). N spatially-local smooth clusters
+                 therefore cost one loop of O(total active), not N loops.
+      residual_ops — root operands with no exact fold (intersections,
+                 round/onion, double-sensitive unions): unrolled trees in
+                 which fully-foldable subtrees still become ISO segments
+                 ("seg" pseudo-leaves) with their own groups.
+
+    Returns None when the scene has no static tape or segmentation covers
+    too few leaves to pay for itself (then the gated O(L) evaluator runs).
+    """
+    if not spec.static_tape:
+        return None
+    from .sdf import _static_tree
+
+    root = _static_tree(spec)
+    if root is None:
+        return None
+
+    row_types = {r: (t, rot) for r, t, rot in _leaf_static_rows(spec)}
+    groups: list[dict] = []
+    segments: list[tuple[int, ...]] = []  # iso segments (group idx tuples)
+    offset = 0
+
+    def add_free_groups(items):
+        nonlocal offset
+        idxs = []
+        by_type: dict[int, list[int]] = {}
+        for row, _k, _m in items:
+            by_type.setdefault(row_types[row][0], []).append(row)
+        for t in sorted(by_type):
+            rows = tuple(by_type[t])
+            groups.append(
+                dict(
+                    ordered=False,
+                    rows=rows,
+                    entries=rows,
+                    offset=offset,
+                    count_idx=len(groups),
+                    ltype=t,
+                    rotated=bool(spec.rotated_types[t]),
+                    types=(),
+                    stream=False,
+                )
+            )
+            idxs.append(len(groups) - 1)
+            offset += len(rows)
+        return idxs
+
+    def add_ordered_group(tagged_items, stream):
+        """tagged_items = [(row, kidx, mode, sid)] in fold order."""
+        nonlocal offset
+        types: list[int] = []
+        rows, entries = [], []
+        for row, kidx, mode, sid in tagged_items:
+            t, _rot = row_types[row]
+            if t not in types:
+                types.append(t)
+            rows.append(row)
+            entries.append(
+                _pack_seg_entry(row, types.index(t), mode, sid % 8, kidx)
+            )
+        groups.append(
+            dict(
+                ordered=True,
+                rows=tuple(rows),
+                entries=tuple(entries),
+                offset=offset,
+                count_idx=len(groups),
+                ltype=-1,
+                rotated=False,
+                types=tuple((t, bool(spec.rotated_types[t])) for t in types),
+                stream=stream,
+            )
+        )
+        offset += len(tagged_items)
+        return len(groups) - 1
+
+    def walk(node):
+        """Residual-subtree walk: foldable subtrees become ISO segments."""
+        kind, i, payload, _rows = node
+        if kind == "leaf":
+            return ("leaf", payload)
+        r = _lin_subtree(node)
+        if r is not None and len(r[0]) >= 2:
+            pre, mid, suf = _split_sensitive(r[0])
+            idxs = add_free_groups(pre)
+            if mid:
+                idxs.append(
+                    add_ordered_group(
+                        [(ro, k, m, 0) for (ro, k, m) in mid], stream=False
+                    )
+                )
+            idxs += add_free_groups(suf)
+            segments.append(tuple(idxs))
+            return ("seg", len(segments) - 1)
+        if kind in (oc.COP_ROUND, oc.COP_ONION):
+            return (kind, i, (walk(payload[0]),))
+        return (kind, i, (walk(payload[0]), walk(payload[1])))
+
+    def flatten_union(node):
+        if node[0] == oc.COP_UNION:
+            return flatten_union(node[2][0]) + flatten_union(node[2][1])
+        return [node]
+
+    # Root-level hard-union flatten + operand classification.
+    plain_items: list = []
+    sensitive: list = []  # per sensitive operand: its prefix+ordered items
+    residual_nodes: list = []
+    for nd in flatten_union(root):
+        r = _lin_subtree(nd)
+        if r is None:
+            residual_nodes.append(nd)
+            continue
+        items, sens = r
+        if not sens:
+            plain_items += items
+            continue
+        pre, mid, suf = _split_sensitive(items)
+        plain_items += suf  # commutes out through the root min
+        sensitive.append(pre + mid)
+
+    pool = tuple(add_free_groups(plain_items))
+    seg1 = None
+    stream = None
+    if len(sensitive) == 1:
+        pre, mid, _ = _split_sensitive(sensitive[0])
+        idxs = add_free_groups(pre)
+        idxs.append(
+            add_ordered_group(
+                [(ro, k, m, 0) for (ro, k, m) in mid], stream=False
+            )
+        )
+        seg1 = tuple(idxs)
+    elif len(sensitive) > 1:
+        tagged = [
+            (ro, k, m, si)
+            for si, items in enumerate(sensitive)
+            for (ro, k, m) in items
+        ]
+        stream = add_ordered_group(tagged, stream=True)
+
+    residual_ops = tuple(walk(nd) for nd in residual_nodes)
+
+    seg_leaves = offset
+    n_pushed = sum(
+        1 for (cop, _a, _s) in spec.static_tape if cop == oc.COP_PUSH
+    )
+    # Worth compacting only when segments carry the bulk of the leaves;
+    # otherwise the plan is the unrolled path plus loop overhead.
+    if seg_leaves < max(2, n_pushed // 2):
+        return None
+
+    return dict(
+        groups=tuple(groups),
+        segments=tuple(segments),
+        pool=pool,
+        seg1=seg1,
+        stream=stream,
+        residual_ops=residual_ops,
+        n_items=offset,
+        n_counts=len(groups),
+    )
+
+
+def compactable_spec(spec: TapeSpec) -> bool:
+    """True when the static tape admits a useful segmented compact plan
+    (see build_compact_plan) — the O(active) evaluation path. Materials
+    don't matter here: this path only computes distances; the color winner
+    runs through the static color tree at hit pixels as before."""
+    return build_compact_plan(spec) is not None
+
+
+def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
+    """O(active-leaves) distance evaluator over a segmented compact plan.
 
     Why this exists: per-tile leaf culling via scalar `lax.cond` gates does
     not actually shrink the many-leaf kernels — measured at 64 leaves the
@@ -160,35 +440,145 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig):
     i.e. the O(n_leaves) unrolled body is paid regardless of the branches
     around it. The robust fix is to make the work O(active) through DATA
     instead of branches: the host compacts each tile's active-leaf mask
-    into a dense row list (culling.compact_active_rows) and the kernel
-    runs a fori_loop PER TYPE SLICE with a RUNTIME trip count = the tile's
-    active count, reading leaf rows indirectly from the prefetched list.
-    Code size is O(1) in n_leaves; executed work is O(active).
+    into dense per-group item lists (culling.compact_plan_rows) and the
+    kernel runs fori_loops with RUNTIME trip counts = the tile's active
+    counts. Code size is O(groups + residual), executed work O(active).
 
-    Exactness: identical active set as the gated path (same masks), FAR
-    for everything culled, and hard-union min is order-exact in fp — so
-    this agrees with the gated evaluator to the same guarantee
-    (ops.culling lemma) and with itself under any leaf ordering.
+    Exactness: identical active set as the gated path (same masks), and
+    per-item skipping of culled leaves is bitwise-exact for every fold
+    mode (see the module comment above build_compact_plan). The residual
+    combine structure replays sdf._combine_static exactly.
 
-    Returns scene_eval(lp_ref, clist_ref, ccount_ref, tid, px, py, pz).
-    `clist_ref` is s32[T, n_leaves] (bank layout: slice s's entries at its
-    own [start, stop) columns, active-first); `ccount_ref` is
-    s32[T, n_slices]."""
+    Returns scene_eval(lp_ref, opp_ref, clist_ref, ccount_ref, tid,
+    px, py, pz). `clist_ref` is s32[T, plan.n_items] (group g's entries at
+    columns [offset, offset+len), active-first, relative order preserved);
+    `ccount_ref` is s32[T, plan.n_counts]."""
     from .culling import FAR
 
-    slices = spec.type_slices
+    row_types = {r: (t, rot) for r, t, rot in _leaf_static_rows(spec)}
 
-    def scene_eval(lp_ref, clist_ref, ccount_ref, tid, px, py, pz):
-        d = px * 0.0 + FAR
-        for si, (t, r0, _r1) in enumerate(slices):
-            rotated = bool(spec.rotated_types[t])
+    def scene_eval(lp_ref, opp_ref, clist_ref, ccount_ref, tid, px, py, pz):
+        far_tile = px * 0.0 + FAR
 
-            def body(k, acc, _t=t, _r0=r0, _rot=rotated):
-                row = clist_ref[tid, _r0 + k]
-                dv = _leaf_distance_tile(lp_ref, row, _t, _rot, px, py, pz)
+        def run_free(g, d):
+            def body(j, acc, _g=g):
+                row = clist_ref[tid, _g["offset"] + j]
+                dv = _leaf_distance_tile(
+                    lp_ref, row, _g["ltype"], _g["rotated"], px, py, pz
+                )
                 return jnp.minimum(acc, dv)
 
-            d = jax.lax.fori_loop(0, ccount_ref[tid, si], body, d)
+            return jax.lax.fori_loop(
+                0, ccount_ref[tid, g["count_idx"]], body, d
+            )
+
+        def item_leaf(g, e):
+            """Leaf distance for one ordered entry (static type table)."""
+            row = e & 1023
+            types = g["types"]
+            if len(types) == 1:
+                t0, rot0 = types[0]
+                return _leaf_distance_tile(lp_ref, row, t0, rot0, px, py, pz)
+            tsel = (e >> 10) & 7
+            return jax.lax.switch(
+                tsel,
+                [
+                    (
+                        lambda _t=t, _ro=ro: _leaf_distance_tile(
+                            lp_ref, row, _t, _ro, px, py, pz
+                        )
+                    )
+                    for (t, ro) in types
+                ],
+            )
+
+        def fold_step(acc, e, dv):
+            """One fold step; exact hard op for mode 0/2, iq blend else."""
+            mode = (e >> 13) & 3
+            ki = e >> 18
+            kp = opp_ref[jnp.maximum(ki - 1, 0)]
+            kk = jnp.maximum(kp, 1e-8)
+            is_sub = mode >= 2
+            is_smooth = (mode & 1) == 1
+            hard = jnp.where(
+                is_sub, jnp.maximum(acc, -dv), jnp.minimum(acc, dv)
+            )
+            diff = jnp.where(is_sub, acc + dv, acc - dv)
+            h = jnp.maximum(kk - jnp.abs(diff), 0.0) / kk
+            corr = h * h * kk * 0.25
+            soft = jnp.where(is_sub, hard + corr, hard - corr)
+            return jnp.where(is_smooth, soft, hard)
+
+        def run_ordered(g, d):
+            def body(j, acc, _g=g):
+                e = clist_ref[tid, _g["offset"] + j]
+                return fold_step(acc, e, item_leaf(_g, e))
+
+            return jax.lax.fori_loop(
+                0, ccount_ref[tid, g["count_idx"]], body, d
+            )
+
+        def run_stream(g, d_out):
+            # Multi-segment stream: fold acc_seg across items, flushing it
+            # into acc_out at each segment boundary (sid change). Item
+            # dropout (culling) never loses a boundary: sid is per-item.
+            def body(j, carry, _g=g):
+                acc_out, acc_seg, prev = carry
+                e = clist_ref[tid, _g["offset"] + j]
+                sid = (e >> 15) & 7
+                new_seg = sid != prev
+                acc_out = jnp.where(
+                    new_seg, jnp.minimum(acc_out, acc_seg), acc_out
+                )
+                acc_seg = jnp.where(new_seg, far_tile, acc_seg)
+                acc_seg = fold_step(acc_seg, e, item_leaf(_g, e))
+                return (acc_out, acc_seg, sid)
+
+            acc_out, acc_seg, _ = jax.lax.fori_loop(
+                0,
+                ccount_ref[tid, g["count_idx"]],
+                body,
+                (d_out, far_tile, jnp.int32(-1)),
+            )
+            return jnp.minimum(acc_out, acc_seg)
+
+        def eval_group_chain(idxs):
+            d = far_tile
+            for gi in idxs:
+                g = plan["groups"][gi]
+                d = run_ordered(g, d) if g["ordered"] else run_free(g, d)
+            return d
+
+        def eval_node(node):
+            kind = node[0]
+            if kind == "leaf":
+                t, rot = row_types[node[1]]
+                return _leaf_distance_tile(
+                    lp_ref, node[1], t, rot, px, py, pz
+                )
+            if kind == "seg":
+                return eval_group_chain(plan["segments"][node[1]])
+            cop, i, children = node
+            kp = opp_ref[i]
+            if cop == oc.COP_ROUND:
+                return eval_node(children[0]) - kp
+            if cop == oc.COP_ONION:
+                return jnp.abs(eval_node(children[0])) - kp
+            a = eval_node(children[0])
+            b = eval_node(children[1])
+            from .sdf import _combine_static
+
+            return _combine_static(cop, a, b, kp)
+
+        d = far_tile
+        for gi in plan["pool"]:
+            d = run_free(plan["groups"][gi], d)
+        if plan["seg1"] is not None:
+            d = jnp.minimum(d, eval_group_chain(plan["seg1"]))
+        if plan["stream"] is not None:
+            d = run_stream(plan["groups"][plan["stream"]], d)
+        for nd in plan["residual_ops"]:
+            d = jnp.minimum(d, eval_node(nd))
         return d
 
     return scene_eval

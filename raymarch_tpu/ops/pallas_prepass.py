@@ -56,11 +56,11 @@ from .pallas_march import (
     _make_scene_eval_compact,
     _scratch_shapes,
     _tet_taps,
-    compactable_spec,
+    build_compact_plan,
     compute_bound,
 )
 from .culling import (
-    compact_active_rows,
+    compact_plan_rows,
     leaf_bound_spheres,
     make_cull_reader,
     tile_leaf_masks,
@@ -623,15 +623,17 @@ def make_pallas_image_render_aa(
     n_mty = (Hp_pack + MH - 1) // MH
     cull_packed = make_cull_reader(spec, n_ftx, cfg.leaf_cull)
 
-    # Compacted O(active)-leaf evaluation for hard-union-of-primitives
-    # scenes: branches around the unrolled static body do not shrink the
-    # many-leaf kernels (measured — see _make_scene_eval_compact), so for
-    # this scene class the kernels instead loop a runtime per-tile active
-    # count over host-compacted leaf lists. Same masks, same FAR lemma,
-    # fp-exact min reordering.
-    compact = bool(cfg.leaf_cull) and compactable_spec(spec)
+    # Compacted O(active)-leaf evaluation for segmentable scenes (hard
+    # unions, smooth-union chains, subtractions — see
+    # pallas_march.build_compact_plan): branches around the unrolled static
+    # body do not shrink the many-leaf kernels (measured — see
+    # _make_scene_eval_compact), so for this scene class the kernels
+    # instead loop a runtime per-tile active count over host-compacted
+    # item lists. Same masks, same FAR lemma, exact fold reordering rules.
+    plan = build_compact_plan(spec) if cfg.leaf_cull else None
+    compact = plan is not None
     scene_compact = (
-        _make_scene_eval_compact(spec, cfg) if compact else None
+        _make_scene_eval_compact(spec, cfg, plan) if compact else None
     )
     # Compacted lists live in SMEM (scalar-prefetch) and are n_leaves wide,
     # so they get their own COARSER super-tile grids than the bitmasks: at
@@ -656,11 +658,13 @@ def make_pallas_image_render_aa(
     MHL = max(MH, aa_pack) if aa_packed else max(MH, bm_fine)
     _fine_rows_total = Hp_pack if aa_packed else Hp
 
+    _list_w = (plan["n_items"] + plan["n_counts"]) if compact else 0
+
     def _list_bytes(clg, mhl):
         nc = (hb_p + bm_coarse * clg - 1) // (bm_coarse * clg)
         nf = (_fine_rows_total + mhl - 1) // mhl
-        return (nc * n_ctx * spec.n_leaves * 4,
-                nf * n_ftx * spec.n_leaves * 4)
+        return (nc * n_ctx * _list_w * 4,
+                nf * n_ftx * _list_w * 4)
 
     if compact:
         cb, fb = _list_bytes(CLG, MHL)
@@ -722,8 +726,8 @@ def make_pallas_image_render_aa(
         if compact:
             def scene(px, py, pz):
                 return scene_compact(
-                    lp_ref, clc_ref, ccc_ref, (ty // CLG) * n_ctx + tx,
-                    px, py, pz,
+                    lp_ref, opp_ref, clc_ref, ccc_ref,
+                    (ty // CLG) * n_ctx + tx, px, py, pz,
                 )
         else:
             def scene(px, py, pz):
@@ -870,7 +874,7 @@ def make_pallas_image_render_aa(
         if compact and two_d:
             def scene(px, py, pz):
                 return scene_compact(
-                    lp_ref, clf_ref, ccf_ref,
+                    lp_ref, opp_ref, clf_ref, ccf_ref,
                     ((ty * bm_fine) // MHL) * n_ftx + tx, px, py, pz,
                 )
         else:
@@ -1120,8 +1124,8 @@ def make_pallas_image_render_aa(
                 bounds, cam_vec, cfg, width, height, n_flty, n_ftx,
                 float(MHL), float(LANES),
             )
-            clc, ccc = compact_active_rows(spec, mask_cl)
-            clf, ccf = compact_active_rows(spec, mask_fl)
+            clc, ccc = compact_plan_rows(spec, plan, mask_cl)
+            clf, ccf = compact_plan_rows(spec, plan, mask_fl)
         else:
             clc = clf = jnp.zeros((1, 1), jnp.int32)
             ccc = ccf = jnp.zeros((1, 1), jnp.int32)
@@ -1336,7 +1340,7 @@ def make_pallas_image_render_aa(
         if compact:
             def scene(px, py_, pz):
                 return scene_compact(
-                    lp_ref, clf_ref, ccf_ref,
+                    lp_ref, opp_ref, clf_ref, ccf_ref,
                     ((ty * aa_pack) // MHL) * n_ftx + tx, px, py_, pz,
                 )
         else:

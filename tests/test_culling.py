@@ -188,8 +188,15 @@ class TestMaskConservative:
         o = np.asarray(o).reshape(H, W, 3)
         d = np.asarray(d).reshape(H, W, 3)
         ts = np.linspace(0.0, 12.0, 96, dtype=np.float32)
-        sum_k = float(np.abs(np.asarray(arrays.op_param)).sum())
-        thresh = CFG.min_dist + sum_k  # tap slack not needed for ray points
+        # Per-leaf path-aware threshold (culling._leaf_op_incidence): a
+        # culled leaf must clear min_dist plus the |k| of the ops on ITS
+        # path to the root (ops elsewhere never see its value). Tap slack
+        # not needed for ray points.
+        from raymarch_tpu.ops.culling import _leaf_op_incidence
+
+        M = np.asarray(_leaf_op_incidence(spec))
+        k_leaf = M @ np.abs(np.asarray(arrays.op_param))
+        thresh_leaf = CFG.min_dist + k_leaf
 
         for ty in range(n_ty):
             for tx in range(n_tx):
@@ -208,9 +215,9 @@ class TestMaskConservative:
                 pts = (op + dp * ts[None, :, None]).reshape(-1, 3)
                 for l in culled:
                     dist = _leaf_dist_np(lp[l], _leaf_type(spec, l), pts)
-                    assert dist.min() > thresh, (
+                    assert dist.min() > thresh_leaf[l], (
                         f"tile ({ty},{tx}) culled leaf {l} but min dist "
-                        f"{dist.min()} <= {thresh}"
+                        f"{dist.min()} <= {thresh_leaf[l]}"
                     )
 
 
