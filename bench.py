@@ -57,6 +57,8 @@ def main():
     # amortized early-exit check (both exact modulo grazing-threshold sample
     # sensitivity; see tests/test_bound_accel, tests/test_prepass).
     cfg = _dc.replace(cfg0, bound_accel=True, exit_check_every=4)
+    cfg_ir = _dc.replace(cfg, relax=1.6)
+    cfg64 = _dc.replace(cfg, relax=1.6, leaf_cull=True)
     scene = scene_config2(rm)
     cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0.0, 0.0, 0.0))
     n_rays = WIDTH * HEIGHT * cfg.aa_samples**2
@@ -92,9 +94,118 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    # --- on-device parity gate ----------------------------------------------
+    # Before timing anything, render one small frame per benchmarked kernel
+    # configuration ON THE REAL CHIP (interpret=False) and compare it with
+    # the NumPy oracle. The test suite pins itself to CPU and validates the
+    # Pallas kernels in interpret mode (tests/conftest.py) — this gate is
+    # what catches a Mosaic-vs-interpret miscompile on actual hardware.
+    from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+    PW, PH = 256, 144
+    # Gate camera tilts 31 deg down (> fovy/2) so the analytic floor's
+    # HORIZON line is out of frame: at the horizon the checkerboard
+    # frequency exceeds the pixel frequency and the 16-sample AA mean is
+    # effectively stochastic — f32 kernel vs f64 oracle legitimately
+    # disagree there per pixel, which would mask real miscompiles.
+    pcam = rm.Camera.looking_at(position=(0.0, 2.6, 4.2), target=(0, 0, 0))
+    pcv = jnp.asarray(
+        np.concatenate([pcam.position, pcam.rotation, [0.0]]).astype(np.float32)
+    )
+    # Small cluster scene exercising the compact/cull path on-device.
+    prng = np.random.default_rng(3)
+    pcl = []
+    for _ in range(4):
+        c = prng.uniform(-1.5, 1.5, 3)
+        c[1] = prng.uniform(-0.3, 0.8)
+        base = rm.sphere(center=tuple(c), radius=float(prng.uniform(0.3, 0.5)))
+        off = prng.uniform(-0.3, 0.3, 3)
+        pcl.append(
+            base.union(
+                rm.sphere(center=tuple(c + off), radius=0.2), k=0.15
+            ).subtract(rm.sphere(center=tuple(c - off), radius=0.2), k=0.12)
+        )
+    for _ in range(4):
+        c = prng.uniform(-1.8, 1.8, 3)
+        c[1] = prng.uniform(-0.3, 0.8)
+        pcl.append(rm.sphere(center=tuple(c), radius=0.3))
+    pscene_cl = pcl[0]
+    for p in pcl[1:]:
+        pscene_cl = pscene_cl | p
+
+    _oracle_cache = {}
+
+    def _oracle_img(sc):
+        if id(sc) not in _oracle_cache:
+            _oracle_cache[id(sc)] = rm.oracle.render(
+                rm.encode_wire(sc), pcam, PW, PH, cfg0
+            )
+        return _oracle_cache[id(sc)]
+
+    def _neigh_diff(img, ref):
+        """Per-pixel min over |img - ref| across ref's 3x3 neighborhood:
+        absorbs half-pixel silhouette sampling shifts (f32 kernel vs f64
+        oracle) while still flagging structural miscompiles."""
+        H, W, _ = img.shape
+        best = np.full((H, W), np.inf, np.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ys = slice(max(0, dy), H + min(0, dy))
+                xs = slice(max(0, dx), W + min(0, dx))
+                ys2 = slice(max(0, -dy), H + min(0, -dy))
+                xs2 = slice(max(0, -dx), W + min(0, -dx))
+                dd = np.abs(img[ys, xs] - ref[ys2, xs2]).max(-1)
+                best[ys, xs] = np.minimum(best[ys, xs], dd)
+        return best
+
+    def parity(name, sc, cfg_p, static=True, tight=False, **kw):
+        spec_p, arrays_p = rm.compile_scene(sc, static=static)
+        rnd_p = make_pallas_image_render_aa(spec_p, cfg_p, PW, PH, **kw)
+        img = np.asarray(jax.jit(rnd_p)(arrays_p, pcv))
+        ref = _oracle_img(sc)
+        d = np.abs(img - ref)
+        nd = _neigh_diff(img, ref)
+        frac = float((nd > 0.01).mean())
+        if tight:
+            # Exact reference march semantics: the kernel must match the
+            # oracle everywhere (f32 rounding only).
+            ok = d.max() < 1e-3
+        else:
+            # Accelerated paths (cone prepass / intervals / relax / cull):
+            # grazing AA samples may flip hit/miss within the documented
+            # conservative tolerance class — bound the mean and the
+            # fraction of edge pixels instead of the max.
+            ok = d.mean() < 5e-4 and frac < 0.008
+        print(
+            f"parity[{name}]: {'PASS' if ok else 'FAIL'} "
+            f"mean={d.mean():.2e} max={d.max():.2e} frac_n>1e-2={frac:.4f}",
+            file=sys.stderr,
+        )
+        assert ok, f"on-device parity FAIL for path '{name}'"
+
+    parity("headline-prepass", scene, cfg, prepass_block=1, aa_packed=True)
+    parity(
+        "interval+relax", scene, cfg_ir,
+        prepass_block=1, n_intervals=2, aa_packed=True,
+    )
+    parity(
+        "no-prepass", scene, cfg, tight=True, no_prepass=True, aa_packed=True
+    )
+    parity(
+        "strict-reference", scene, cfg0, tight=True,
+        no_prepass=True, aa_packed=True,
+    )
+    parity(
+        "dynamic-tape", scene, cfg, static=False,
+        prepass_block=1, aa_packed=True,
+    )
+    parity(
+        "compact-cull", pscene_cl, cfg64,
+        prepass_block=1, n_intervals=2, aa_packed=True,
+    )
+
     # --- headline: cone-prepass fused renderer, static tape -----------------
     spec_s, arrays_s = rm.compile_scene(scene, static=True)
-    from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
 
     rnd = make_pallas_image_render_aa(
         spec_s, cfg, WIDTH, HEIGHT, prepass_block=1, aa_packed=True
@@ -118,7 +229,6 @@ def main():
 
     # --- secondary: interval prepass + relaxed stepping ---------------------
     # (same conservative tolerance class; see ops.pallas_prepass docstrings)
-    cfg_ir = _dc.replace(cfg, relax=1.6)
     rnd_ir = make_pallas_image_render_aa(
         spec_s, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
         aa_packed=True,
@@ -151,7 +261,6 @@ def main():
     cam64_vec = jnp.asarray(
         np.concatenate([cam64.position, cam64.rotation, [0.0]]).astype(np.float32)
     )
-    cfg64 = _dc.replace(cfg, relax=1.6, leaf_cull=True)
     rnd64 = make_pallas_image_render_aa(
         spec64, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
         aa_packed=True,
@@ -259,6 +368,42 @@ def main():
     print(
         f"64-primitive MIXED cluster render (stream compact plan): "
         f"{dt_cl*1e3:.2f} ms/frame, {n_rays/dt_cl/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+
+    # 256-primitive scene: evidence the O(active) machinery scales past the
+    # BASELINE config-5 size (exercises the SMEM-budget list coarsening;
+    # see tests/test_compact.py::test_256_leaf_*).
+    rng256 = np.random.default_rng(21)
+    p256 = []
+    for _ in range(256):
+        c = rng256.uniform(-6, 6, 3)
+        c[1] = rng256.uniform(-1.0, 2.0)
+        p256.append(
+            rm.sphere(center=tuple(c), radius=float(rng256.uniform(0.15, 0.45)))
+        )
+    while len(p256) > 1:
+        p256 = [
+            p256[i] | p256[i + 1] if i + 1 < len(p256) else p256[i]
+            for i in range(0, len(p256), 2)
+        ]
+    spec256, arrays256 = rm.compile_scene(p256[0], static=True)
+    cam256 = rm.Camera.looking_at(position=(0.0, 4.0, 16.0), target=(0, 0, 0))
+    cam256_vec = jnp.asarray(
+        np.concatenate([cam256.position, cam256.rotation, [0.0]]).astype(
+            np.float32
+        )
+    )
+    rnd256 = make_pallas_image_render_aa(
+        spec256, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        aa_packed=True,
+    )
+    assert rnd256.compact, "256-leaf scene must take the compacted path"
+    f256 = jax.jit(lambda a, c: jnp.sum(rnd256(a, c)))
+    dt_256, _ = timeit(f256, arrays256, cam256_vec)
+    print(
+        f"256-primitive render (compact, coarsened lists): "
+        f"{dt_256*1e3:.2f} ms/frame, {n_rays/dt_256/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
 

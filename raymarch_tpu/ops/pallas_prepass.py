@@ -1526,6 +1526,9 @@ def make_pallas_image_render_aa(
     # (False when the scene is not foldable or the list SMEM floors exceed
     # the budget and the builder fell back to the gated evaluator.)
     render.compact = compact
+    # Final list super-tile geometry after SMEM-budget coarsening:
+    # (coarse-grid rows per coarse list tile, fine list tile pixel rows).
+    render.compact_geometry = (CLG, MHL) if compact else None
 
     # Exposed for instrumentation / custom pipelines. `pre` is the prepass
     # plane list: [t0, status] (legacy) or NI (start, end) pairs.

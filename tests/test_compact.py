@@ -458,3 +458,63 @@ def test_compact_render_mixed_ops_matches_oracle():
     # edge class). Bound the mean and the count of edge pixels.
     assert d.mean() < 1e-4, d.mean()
     assert (d.max(axis=-1) > 0.01).mean() < 0.005, (d.max(), d.mean())
+
+
+def _many_sphere_scene(n, seed=21, spread=6.0):
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(n):
+        c = rng.uniform(-spread, spread, 3)
+        c[1] = rng.uniform(-1.0, 2.0)
+        parts.append(
+            rm.sphere(center=tuple(c), radius=float(rng.uniform(0.15, 0.45)))
+        )
+    while len(parts) > 1:
+        parts = [
+            parts[i] | parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
+
+
+def test_256_leaf_compact_matches_oracle():
+    # Scale test past the BASELINE config-5 size: 256 leaves through the
+    # compacted path, validated against the NumPy oracle. (The gated
+    # comparison path would unroll 256 leaves in interpret mode - the
+    # oracle is the practical ground truth at this size.)
+    scene = _many_sphere_scene(256)
+    spec, arrays = rm.compile_scene(scene, static=True)
+    assert spec.n_leaves == 256  # power-of-two bucket, no padding rows
+    cam = rm.Camera.looking_at(position=(0.0, 4.0, 16.0), target=(0, 0, 0))
+    cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True)
+    r = make_pallas_image_render_aa(
+        spec, cfg, 128, 96, interpret=True, no_prepass=True, aa_packed=False
+    )
+    assert r.compact
+    img = np.asarray(r(arrays, _cam_vec(cam)))
+    img_o = rm.oracle.render(rm.encode_wire(scene), cam, 128, 96, cfg=cfg)
+    d = np.abs(img - img_o)
+    assert d.mean() < 1e-4, d.mean()
+    assert (d.max(axis=-1) > 0.01).mean() < 0.005, (d.max(), d.mean())
+
+
+def test_256_leaf_1080p_geometry_coarsens_within_budget():
+    # At 1080p a 256-leaf list at base granularity exceeds the SMEM budget;
+    # the builder must coarsen list super-tiles (not fall back) and stay on
+    # the compacted path.
+    scene = _many_sphere_scene(256)
+    spec, _ = rm.compile_scene(scene, static=True)
+    cfg = dc.replace(
+        rm.DEFAULT_CONFIG,
+        bound_accel=True,
+        exit_check_every=4,
+        relax=1.6,
+        leaf_cull=True,
+    )
+    r = make_pallas_image_render_aa(
+        spec, cfg, 1920, 1080, interpret=True, prepass_block=1,
+        n_intervals=2, aa_packed=True,
+    )
+    assert r.compact
+    clg, mhl = r.compact_geometry
+    assert clg > 1 or mhl > 64  # coarsening actually happened
