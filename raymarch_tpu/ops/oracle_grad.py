@@ -8,8 +8,9 @@ oracle gradient ANALYTICALLY, in float64, with hand-derived partials:
 - `eval_tape_grads`: walks the wire tape like `oracle.eval_tape` but pushes
   (value, d/dpos[3], d/dword[W]) triples, where W indexes every u32 word of
   the tape — the gradient is taken w.r.t. every f32 parameter word in place
-  (opcode words keep zero columns). All partials are closed-form: sphere /
-  box / plane / torus leaves, hard and smooth booleans, round / onion.
+  (opcode words keep zero columns). All partials are closed-form: every
+  primitive type (sphere/box/plane/torus/cylinder/capsule/cone), rotated
+  or not (raw-quaternion partials), hard and smooth booleans, round/onion.
 - `pixel_grads`: the full pixel gradient d(image)/d(param words), mirroring
   the DEVICE differentiable renderer's exact discrete computation graph
   (ops.march: implicit-function theorem at the converged hit with the
@@ -54,6 +55,223 @@ class _Val:
         self.dw = dw
 
 
+def _cross(a, b):
+    return np.cross(a, b)
+
+
+def _rot(q, v):
+    """Rotate v[N,3] by quaternion rows q[4] (w,x,y,z) — the device's exact
+    formula (sdf.quat_rotate on raw, not re-normalized, components)."""
+    w, u = q[0], q[1:4]
+    uv = _cross(np.broadcast_to(u, v.shape), v)
+    uuv = _cross(np.broadcast_to(u, v.shape), uv)
+    return v + 2.0 * (w * uv + uuv)
+
+
+def _rotinv_with_partials(q, x):
+    """l = quat_rotate_inv(q, x) plus dl/dq[j] for the 4 raw components.
+
+    Mirrors sdf.quat_rotate_inv: rotate by (w, -u). Returns
+    (l[N,3], dl_dq list of 4 [N,3] arrays)."""
+    w = q[0]
+    up = -q[1:4]  # u' of the inverse rotation
+    upb = np.broadcast_to(up, x.shape)
+    uxv = _cross(upb, x)
+    l = x + 2.0 * (w * uxv + _cross(upb, uxv))
+    dl_dw = 2.0 * uxv
+    dl_dq = [dl_dw]
+    eye = np.eye(3)
+    for m in range(3):
+        em = np.broadcast_to(eye[m], x.shape)
+        demxv = _cross(em, x)
+        term = 2.0 * (
+            w * demxv + _cross(em, uxv) + _cross(upb, demxv)
+        )
+        # u' = -q_vec  =>  d/dq_m = -d/du'_m
+        dl_dq.append(-term)
+    return l, dl_dq
+
+
+# --- per-shape local evaluators: l[N,3] -> (d, g_local, [(rel_word, g)]) ---
+# rel_word indexes the SHAPE params (after center/quat words). Winner masks
+# mirror the device's jnp.minimum/maximum/clip subgradient choices; ties are
+# measure-zero and excluded by the comparison tests.
+
+
+def _shape_sphere(l, par):
+    L = np.maximum(_norm(l), 1e-300)
+    u = l / L[:, None]
+    return L - par[0], u, [(0, -np.ones(l.shape[0]))]
+
+
+def _shape_box(l, par):
+    n = l.shape[0]
+    h = par[0:3]
+    aq = np.abs(l) - h
+    sgn = np.sign(l)
+    o = np.maximum(aq, 0.0)
+    Lo = _norm(o)
+    Lo_safe = np.maximum(Lo, 1e-300)
+    go = (o / Lo_safe[:, None]) * (aq > 0.0)
+    wmax = np.argmax(aq, axis=1)
+    act_in = (np.max(aq, axis=1) < 0.0).astype(np.float64)
+    gi = np.zeros((n, 3))
+    gi[np.arange(n), wmax] = act_in
+    gaq = go + gi
+    d = Lo + np.minimum(np.max(aq, axis=1), 0.0)
+    gl = gaq * sgn
+    return d, gl, [(j, -gaq[:, j]) for j in range(3)]
+
+
+def _shape_torus(l, par):
+    R, r = par[0], par[1]
+    hxz = np.maximum(np.hypot(l[:, 0], l[:, 2]), 1e-300)
+    ring = hxz - R
+    rr = np.maximum(np.hypot(ring, l[:, 1]), 1e-300)
+    d = rr - r
+    dring = ring / rr
+    gl = np.stack(
+        [dring * l[:, 0] / hxz, l[:, 1] / rr, dring * l[:, 2] / hxz], axis=1
+    )
+    return d, gl, [(0, -dring), (1, -np.ones(l.shape[0]))]
+
+
+def _shape_cylinder(l, par):
+    """iq capped cylinder (exact): radius @0, half-height @1; same
+    min/max decomposition as the box."""
+    n = l.shape[0]
+    r, h = par[0], par[1]
+    hxz = np.maximum(np.hypot(l[:, 0], l[:, 2]), 1e-300)
+    qx = hxz - r
+    qy = np.abs(l[:, 1]) - h
+    q2 = np.stack([qx, qy], axis=1)
+    o = np.maximum(q2, 0.0)
+    Lo = _norm(o)
+    Lo_safe = np.maximum(Lo, 1e-300)
+    go = (o / Lo_safe[:, None]) * (q2 > 0.0)
+    wmax = np.argmax(q2, axis=1)
+    act_in = (np.max(q2, axis=1) < 0.0).astype(np.float64)
+    gi = np.zeros((n, 2))
+    gi[np.arange(n), wmax] = act_in
+    gq = go + gi  # d(d)/d(qx, qy)
+    d = Lo + np.minimum(np.max(q2, axis=1), 0.0)
+    gl = np.stack(
+        [
+            gq[:, 0] * l[:, 0] / hxz,
+            gq[:, 1] * np.sign(l[:, 1]),
+            gq[:, 0] * l[:, 2] / hxz,
+        ],
+        axis=1,
+    )
+    return d, gl, [(0, -gq[:, 0]), (1, -gq[:, 1])]
+
+
+def _shape_capsule(l, par):
+    """Vertical capsule (exact): radius @0, half-height @1."""
+    r, h = par[0], par[1]
+    cl = np.clip(l[:, 1], -h, h)
+    yy = l[:, 1] - cl
+    L = np.maximum(
+        np.sqrt(l[:, 0] ** 2 + yy * yy + l[:, 2] ** 2), 1e-300
+    )
+    outside = (np.abs(l[:, 1]) > h).astype(np.float64)
+    gl = np.stack(
+        [l[:, 0] / L, (yy / L) * outside, l[:, 2] / L], axis=1
+    )
+    # d(clamp)/dh = sign(y) when clamped; yy = y - clamp
+    dh = (yy / L) * (-np.sign(l[:, 1])) * outside
+    return L - r, gl, [(0, -np.ones(l.shape[0])), (1, dh)]
+
+
+def _shape_cone(l, par):
+    """iq capped cone (exact): h @0, r_bottom @1, r_top @2. Partials via
+    the winner/clamp gates of the device formula (sdf._leaf_cone)."""
+    n = l.shape[0]
+    h, r1, r2 = par[0], par[1], par[2]
+    qx = np.maximum(np.hypot(l[:, 0], l[:, 2]), 1e-300)
+    qy = l[:, 1]
+    k2x = r2 - r1
+    k2y = 2.0 * h
+    below = (qy < 0.0).astype(np.float64)
+    rsel = below * r1 + (1.0 - below) * r2
+    wmin = (qx <= rsel).astype(np.float64)  # min(qx, rsel) winner = qx
+    cax = qx - np.minimum(qx, rsel)
+    cay = np.abs(qy) - h
+    den = max(k2x * k2x + k2y * k2y, 1e-20)
+    den_gate = 1.0 if (k2x * k2x + k2y * k2y) > 1e-20 else 0.0
+    N_ = (r2 - qx) * k2x + (h - qy) * k2y
+    ttraw = N_ / den
+    tt = np.clip(ttraw, 0.0, 1.0)
+    clip_act = ((ttraw > 0.0) & (ttraw < 1.0)).astype(np.float64)
+    cbx = qx - r2 + k2x * tt
+    cby = qy - h + k2y * tt
+    ca2 = cax * cax + cay * cay
+    cb2 = cbx * cbx + cby * cby
+    wca = (ca2 <= cb2).astype(np.float64)
+    msq = np.minimum(ca2, cb2)
+    s = np.where((cbx < 0.0) & (cay < 0.0), -1.0, 1.0)
+    rt = np.maximum(np.sqrt(msq), 1e-300)
+    d = s * np.sqrt(msq)
+    sy = np.sign(qy)
+
+    def dd_of(dqx, dqy, dh_, dr1, dr2):
+        """Total derivative for seeds (all [N] or scalars)."""
+        dk2x = dr2 - dr1
+        dk2y = 2.0 * dh_
+        drsel = below * dr1 + (1.0 - below) * dr2
+        dcax = (1.0 - wmin) * (dqx - drsel)
+        dcay = sy * dqy - dh_
+        dN = (
+            (dr2 - dqx) * k2x
+            + (r2 - qx) * dk2x
+            + (dh_ - dqy) * k2y
+            + (h - qy) * dk2y
+        )
+        dden = (2.0 * k2x * dk2x + 2.0 * k2y * dk2y) * den_gate
+        dtt = clip_act * (dN * den - N_ * dden) / (den * den)
+        dcbx = dqx - dr2 + dk2x * tt + k2x * dtt
+        dcby = dqy - dh_ + dk2y * tt + k2y * dtt
+        dmsq = wca * 2.0 * (cax * dcax + cay * dcay) + (
+            1.0 - wca
+        ) * 2.0 * (cbx * dcbx + cby * dcby)
+        return s * dmsq / (2.0 * rt)
+
+    z = np.zeros(n)
+    one = np.ones(n)
+    glx = dd_of(l[:, 0] / qx, z, z, z, z)
+    gly = dd_of(z, one, z, z, z)
+    glz = dd_of(l[:, 2] / qx, z, z, z, z)
+    gl = np.stack([glx, gly, glz], axis=1)
+    return d, gl, [
+        (0, dd_of(z, z, one, z, z)),
+        (1, dd_of(z, z, z, one, z)),
+        (2, dd_of(z, z, z, z, one)),
+    ]
+
+
+_SHAPE_FNS = {
+    oc.OP_SPHERE: (_shape_sphere, 1),
+    oc.OP_BOX: (_shape_box, 3),
+    oc.OP_BOX_ROT: (_shape_box, 3),
+    oc.OP_TORUS: (_shape_torus, 2),
+    oc.OP_TORUS_ROT: (_shape_torus, 2),
+    oc.OP_CYLINDER: (_shape_cylinder, 2),
+    oc.OP_CYLINDER_ROT: (_shape_cylinder, 2),
+    oc.OP_CAPSULE: (_shape_capsule, 2),
+    oc.OP_CAPSULE_ROT: (_shape_capsule, 2),
+    oc.OP_CONE: (_shape_cone, 3),
+    oc.OP_CONE_ROT: (_shape_cone, 3),
+}
+
+_ROTATED_OPS = {
+    oc.OP_BOX_ROT,
+    oc.OP_TORUS_ROT,
+    oc.OP_CYLINDER_ROT,
+    oc.OP_CAPSULE_ROT,
+    oc.OP_CONE_ROT,
+}
+
+
 def eval_tape_grads(
     tape: np.ndarray, points: np.ndarray, cfg: RenderConfig = DEFAULT_CONFIG
 ):
@@ -61,8 +279,8 @@ def eval_tape_grads(
 
     Returns (d[N], dpos[N,3], dwords[N, len(tape)]): the distance, its
     spatial gradient, and its gradient w.r.t. every tape word (zero for
-    opcode words). Raises on opcodes without closed-form partials here
-    (rotated primitives, cylinder/capsule/cone, materials with grads).
+    opcode words). Covers every primitive opcode (rotated included) and
+    every combine; OP_MATERIAL is distance-inert here.
     """
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     n = points.shape[0]
@@ -92,38 +310,38 @@ def eval_tape_grads(
         pw = list(range(i, i + npar))  # word index of each param
         i += npar
 
-        if op == oc.OP_SPHERE:
-            q = points - par[0:3]
-            L = np.maximum(_norm(q), 1e-300)
-            u = q / L[:, None]
-            stack.append(
-                leaf(
-                    L - par[3],
-                    u,
-                    [(pw[j], -u[:, j]) for j in range(3)] + [(pw[3], -1.0)],
-                )
-            )
-        elif op == oc.OP_BOX:
-            c, h = par[0:3], par[3:6]
-            q = points - c
-            aq = np.abs(q) - h  # [N,3]
-            sgn = np.sign(q)
-            o = np.maximum(aq, 0.0)
-            Lo = _norm(o)
-            inside_mask = (Lo == 0.0).astype(np.float64)
-            # outside term: |max(aq,0)|; gradient o_j/Lo * [aq_j>0]
-            Lo_safe = np.maximum(Lo, 1e-300)
-            go = (o / Lo_safe[:, None]) * (aq > 0.0)
-            # inside term: min(max3(aq), 0); active iff all aq_j <= 0
-            wmax = np.argmax(aq, axis=1)
-            act_in = (np.max(aq, axis=1) < 0.0).astype(np.float64)
-            gi = np.zeros((n, 3))
-            gi[np.arange(n), wmax] = act_in
-            gaq = go + gi  # d(d)/d(aq_j)
-            d = Lo + np.minimum(np.max(aq, axis=1), 0.0)
-            dp = gaq * sgn
-            dw_pairs = [(pw[j], -(gaq * sgn)[:, j]) for j in range(3)]
-            dw_pairs += [(pw[3 + j], -gaq[:, j]) for j in range(3)]
+        if op in _SHAPE_FNS:
+            rotated = op in _ROTATED_OPS
+            fn, _n_shape = _SHAPE_FNS[op]
+            if rotated:
+                q = par[0:4]
+                c = par[4:7]
+                shape_par = par[7:]
+                q_words = pw[0:4]
+                c_words = pw[4:7]
+                shape_words = pw[7:]
+            else:
+                c = par[0:3]
+                shape_par = par[3:]
+                c_words = pw[0:3]
+                shape_words = pw[3:]
+            x = points - c
+            if rotated:
+                l, dl_dq = _rotinv_with_partials(q, x)
+            else:
+                l = x
+            d, gl, sp = fn(l, shape_par)
+            # World spatial gradient: dd/dp = R(q) g_local (l = R^T (p-c)).
+            dp = _rot(q, gl) if rotated else gl
+            dw_pairs = [(c_words[j], -dp[:, j]) for j in range(3)]
+            if rotated:
+                # Raw-component quaternion partials, mirroring the device's
+                # un-normalized rotation formula (sdf.quat_rotate_inv).
+                dw_pairs += [
+                    (q_words[j], np.sum(gl * dl_dq[j], axis=1))
+                    for j in range(4)
+                ]
+            dw_pairs += [(shape_words[rel], g) for rel, g in sp]
             stack.append(leaf(d, dp, dw_pairs))
         elif op == oc.OP_PLANE:
             nrm, off = par[0:3], par[3]
@@ -221,6 +439,9 @@ def eval_tape_grads(
             dw = s[:, None] * a.dw
             dw[:, pw[0]] += -1.0
             stack.append(_Val(np.abs(a.d) - par[0], s[:, None] * a.dp, dw))
+        elif op == oc.OP_MATERIAL:
+            pass  # albedo attribute: distance-inert (color grads live in
+            # pixel_grads' material chain)
         else:
             raise NotImplementedError(
                 f"analytic oracle gradient: unsupported opcode {op}"
