@@ -92,6 +92,25 @@ def _rotinv_with_partials(q, x):
     return l, dl_dq
 
 
+def _rot_with_partials(q, v):
+    """l = quat_rotate(q, v) plus dl/dq[j] for the 4 raw components
+    (device raygen rotates view dirs with sdf.quat_rotate on raw q)."""
+    w = q[0]
+    u = q[1:4]
+    ub = np.broadcast_to(u, v.shape)
+    uxv = _cross(ub, v)
+    l = v + 2.0 * (w * uxv + _cross(ub, uxv))
+    dl_dq = [2.0 * uxv]
+    eye = np.eye(3)
+    for m in range(3):
+        em = np.broadcast_to(eye[m], v.shape)
+        demxv = _cross(em, v)
+        dl_dq.append(
+            2.0 * (w * demxv + _cross(em, uxv) + _cross(ub, demxv))
+        )
+    return l, dl_dq
+
+
 # --- per-shape local evaluators: l[N,3] -> (d, g_local, [(rel_word, g)]) ---
 # rel_word indexes the SHAPE params (after center/quat words). Winner masks
 # mirror the device's jnp.minimum/maximum/clip subgradient choices; ties are
@@ -478,19 +497,37 @@ def pixel_grads(
     origins: np.ndarray,
     dirs: np.ndarray,
     cfg: RenderConfig = DEFAULT_CONFIG,
+    cam_rotation=None,
 ):
-    """Exact d(color)/d(tape words) for explicit rays.
+    """Exact d(color)/d(tape words) — and, when `cam_rotation` is given,
+    d(color)/d(camera pos[3] + raw quaternion[4]) — for explicit rays.
 
     origins/dirs: [N,3] (pass the device raygen's own rays so both sides
     differentiate the identical primal). Returns (color[N,3],
-    dcolor[N,3,W]) BEFORE AA averaging — the caller reduces over samples.
-    Mirrors ops.march.shade + _gamma + the implicit-VJP treatment of t:
-    dt/dw = -F_w / clamp(grad_x F . d) at the converged hit.
+    dcolor[N,3,W]) BEFORE AA averaging, or (color, dcolor, dcam[N,3,7])
+    with `cam_rotation`. Mirrors ops.march.shade + _gamma + the
+    implicit-VJP treatment of t: dt/dw = -F_w / clamp(grad_x F . d) at the
+    converged hit; the camera chain mirrors ops.raygen.raygen_flat
+    (o = campos; d = quat_rotate(q, v) on RAW quaternion components, v the
+    camera-independent normalized view dir) and ops.march.march_bwd's
+    (go, gd) cotangents. The floor/miss path is piecewise constant in the
+    camera a.e. (checker parity through round->int), exactly as on the
+    device, so only the hit-shading chain carries camera gradient.
     """
     o = np.asarray(origins, np.float64).reshape(-1, 3)
     d = np.asarray(dirs, np.float64).reshape(-1, 3)
     n = o.shape[0]
     Wt = len(tape)
+    n_cam = 7 if cam_rotation is not None else 0
+    Wx = Wt + n_cam  # extended gradient axis: words then (pos3, quat4)
+
+    if n_cam:
+        q = np.asarray(cam_rotation, np.float64)
+        # v = R(q)^{-1} d (exact inverse of the device raygen rotation),
+        # then dd/dq via the forward-rotation partials at v.
+        vq = np.concatenate([[q[0]], -q[1:4]])
+        v = _rot(vq, d) / (np.sum(q * q) ** 2)  # |q|^2 scale per rotation
+        _, dd_dq = _rot_with_partials(q, v)
 
     t, hit = _march_f64(tape, o, d, cfg)
     hitf = hit.astype(np.float64)
@@ -501,20 +538,40 @@ def pixel_grads(
     fdot = np.sum(gp * d, axis=1)
     c = cfg.grad_denom_clamp
     denom = np.where(np.abs(fdot) > c, fdot, np.where(fdot >= 0, c, -c))
-    dt_dw = -(gw / denom[:, None]) * hitf[:, None]  # [N, W]
+    dt_dx = np.zeros((n, Wx))
+    dt_dx[:, :Wt] = -(gw / denom[:, None]) * hitf[:, None]
+    if n_cam:
+        # dt/d campos_j = -g_j/denom; dt/d q_j = -t (g . dd/dq_j)/denom.
+        dt_dx[:, Wt : Wt + 3] = -(gp / denom[:, None]) * hitf[:, None]
+        for j in range(4):
+            dt_dx[:, Wt + 3 + j] = (
+                -t * np.sum(gp * dd_dq[j], axis=1) / denom * hitf
+            )
 
     # Shading position: device replaces miss positions by the origin
-    # (ops.march.shade double-where), making miss rays t-independent.
+    # (ops.march.shade double-where), making miss rays t-independent. All
+    # consumers of dpos below are hit-masked, so the miss-ray columns are
+    # inert — masking uniformly by hitf mirrors the device cotangent flow.
     pos = np.where(hit[:, None], pos_hit, o)
-    dpos_dw = d[:, :, None] * dt_dw[:, None, :] * hitf[:, None, None]
+    dpos_dx = d[:, :, None] * dt_dx[:, None, :] * hitf[:, None, None]
+    if n_cam:
+        # + do/dtheta + t * dd/dtheta direct terms.
+        eye = np.eye(3)
+        for j in range(3):
+            dpos_dx[:, :, Wt + j] += eye[j][None, :] * hitf[:, None]
+        for j in range(4):
+            dpos_dx[:, :, Wt + 3 + j] += (
+                dd_dq[j] * t[:, None] * hitf[:, None]
+            )
 
     # Tetrahedron normal (pre-normalization acc), gradient THROUGH the tap
     # positions plus the direct parameter dependence.
     acc = np.zeros((n, 3))
-    dacc = np.zeros((n, 3, Wt))
+    dacc = np.zeros((n, 3, Wx))
     for k in _TAPS:
         fk, gpk, gwk = eval_tape_grads(tape, pos + k * cfg.normal_eps, cfg)
-        dfk = np.einsum("nj,njw->nw", gpk, dpos_dw) + gwk
+        dfk = np.einsum("nj,njw->nw", gpk, dpos_dx)
+        dfk[:, :Wt] += gwk
         acc += k[None, :] * fk[:, None]
         dacc += k[None, :, None] * dfk[:, None, :]
     nn = np.maximum(_norm(acc), 1e-20)
@@ -530,7 +587,7 @@ def pixel_grads(
     tl = pos - np.asarray(cfg.light_position, np.float64)
     tln = np.maximum(_norm(tl), 1e-20)
     tlu = tl / tln[:, None]
-    dtl = dpos_dw  # [N,3,W]
+    dtl = dpos_dx  # [N,3,Wx]
     gate_tl = (_norm(tl) > 1e-20).astype(np.float64)
     proj_tl = np.eye(3)[None, :, :] - tlu[:, :, None] * tlu[:, None, :]
     dtlu = np.einsum("nij,njw->niw", proj_tl, dtl) / tln[:, None, None]
@@ -544,11 +601,23 @@ def pixel_grads(
     diffuse = np.maximum(cfg.ambient, dot)
     ddiffuse = amb_gate[:, None] * ddot
 
-    albedo = np.asarray(cfg.albedo, np.float64)
-    hit_color = albedo[None, :] * diffuse[:, None]
-    dhit_color = albedo[None, :, None] * ddiffuse[:, None, :]
+    if _tape_has_materials(tape):
+        albedo, dalb_dpos, dalb_dw = eval_tape_color_grads(tape, pos, cfg)
+        dalb = np.zeros((n, 3, Wx))
+        dalb[:, :, :Wt] = dalb_dw
+        dalb += np.einsum("ncj,njw->ncw", dalb_dpos, dpos_dx)
+        hit_color = albedo * diffuse[:, None]
+        dhit_color = (
+            dalb * diffuse[:, None, None]
+            + albedo[:, :, None] * ddiffuse[:, None, :]
+        )
+    else:
+        albedo = np.asarray(cfg.albedo, np.float64)
+        hit_color = albedo[None, :] * diffuse[:, None]
+        dhit_color = albedo[None, :, None] * ddiffuse[:, None, :]
 
-    # Floor (parameter-independent): primal only.
+    # Floor (parameter-independent and camera-piecewise-constant): primal
+    # only.
     dy = d[:, 1]
     dy_safe = np.where(np.abs(dy) > 1e-8, dy, 1e-8)
     ft = (cfg.floor_y - o[:, 1]) / dy_safe
@@ -570,4 +639,207 @@ def pixel_grads(
     pos_gate = (color_lin > 0.0).astype(np.float64)
     gam = np.sqrt(np.maximum(color_lin, 0.0) + 1e-12)
     dgam = pos_gate[:, :, None] * dcolor_lin / (2.0 * gam[:, :, None])
+    if n_cam:
+        return gam, dgam[:, :, :Wt], dgam[:, :, Wt:]
     return gam, dgam
+
+
+def _tape_has_materials(tape) -> bool:
+    tape = np.asarray(tape, np.uint32)
+    i = 0
+    while i < len(tape):
+        op = int(tape[i])
+        if op == oc.OP_MATERIAL:
+            return True
+        i += 1 + oc.WIRE_PARAM_COUNT[op]
+    return False
+
+
+class _CVal:
+    """Color-stack entry: distance _Val plus rgb[N,3], drgb_dpos[N,3,3],
+    drgb_dw[N,3,W]."""
+
+    __slots__ = ("v", "rgb", "drp", "drw")
+
+    def __init__(self, v, rgb, drp, drw):
+        self.v = v
+        self.rgb = rgb
+        self.drp = drp
+        self.drw = drw
+
+
+def eval_tape_color_grads(
+    tape: np.ndarray, points: np.ndarray, cfg: RenderConfig = DEFAULT_CONFIG
+):
+    """Albedo at points[N,3] with exact gradients: returns
+    (rgb[N,3], drgb_dpos[N,3,3], drgb_dwords[N,3,W]).
+
+    Mirrors oracle.eval_tape_color / sdf's material propagation: leaves
+    carry flag-blended albedo (OP_MATERIAL postfix words); hard combines
+    select the winner (piecewise constant — zero weight gradient a.e.);
+    smooth combines blend with w = clip(0.5 + 0.5(db-da)/k, 0, 1), whose
+    gradient flows through both operand DISTANCES and k. Distance values
+    and their gradients come from the same walk (shared with
+    eval_tape_grads' closed forms)."""
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    n = points.shape[0]
+    tape = np.asarray(tape, np.uint32)
+    W = len(tape)
+    f32 = tape.view(np.float32)
+    default = np.asarray(cfg.albedo, np.float64)
+
+    def const_rgb(rgb_row):
+        return (
+            np.broadcast_to(rgb_row, (n, 3)).copy(),
+            np.zeros((n, 3, 3)),
+            np.zeros((n, 3, W)),
+        )
+
+    # Re-run the distance walk, synchronized with a color stack.
+    stack: list[_CVal] = []
+    i = 0
+    while i < W:
+        op = int(tape[i])
+        i += 1
+        npar = oc.WIRE_PARAM_COUNT[op]
+        par = f32[i : i + npar].astype(np.float64)
+        pw = list(range(i, i + npar))
+        i += npar
+        if op in _SHAPE_FNS or op == oc.OP_PLANE:
+            sub = np.concatenate(
+                [[np.uint32(op)], tape[pw[0] : pw[0] + npar]]
+            ) if npar else np.asarray([op], np.uint32)
+            dsub, dpsub, dwsub = eval_tape_grads(sub, points, cfg)
+            dw = np.zeros((n, W))
+            dw[:, pw] = dwsub[:, 1 : 1 + npar]
+            rgb, drp, drw = const_rgb(default)
+            stack.append(_CVal(_Val(dsub, dpsub, dw), rgb, drp, drw))
+        elif op == oc.OP_MATERIAL:
+            top = stack[-1]
+            rgb = np.broadcast_to(par[0:3], (n, 3)).copy()
+            drw = np.zeros((n, 3, W))
+            for ch in range(3):
+                drw[:, ch, pw[ch]] = 1.0
+            stack[-1] = _CVal(top.v, rgb, np.zeros((n, 3, 3)), drw)
+        elif op in (oc.OP_UNION, oc.OP_INTERSECTION, oc.OP_SUBTRACTION):
+            b = stack.pop()
+            a = stack.pop()
+            av, bv = a.v, b.v
+            if op == oc.OP_UNION:
+                wa = (av.d <= bv.d).astype(np.float64)
+                d_new = np.where(wa > 0, av.d, bv.d)
+                dp = wa[:, None] * av.dp + (1 - wa)[:, None] * bv.dp
+                dwv = wa[:, None] * av.dw + (1 - wa)[:, None] * bv.dw
+            elif op == oc.OP_INTERSECTION:
+                wa = (av.d >= bv.d).astype(np.float64)
+                d_new = np.where(wa > 0, av.d, bv.d)
+                dp = wa[:, None] * av.dp + (1 - wa)[:, None] * bv.dp
+                dwv = wa[:, None] * av.dw + (1 - wa)[:, None] * bv.dw
+            else:
+                wa = (av.d >= -bv.d).astype(np.float64)
+                d_new = np.where(wa > 0, av.d, -bv.d)
+                dp = wa[:, None] * av.dp - (1 - wa)[:, None] * bv.dp
+                dwv = wa[:, None] * av.dw - (1 - wa)[:, None] * bv.dw
+            rgb = wa[:, None] * a.rgb + (1 - wa)[:, None] * b.rgb
+            drp = wa[:, None, None] * a.drp + (1 - wa)[:, None, None] * b.drp
+            drw = wa[:, None, None] * a.drw + (1 - wa)[:, None, None] * b.drw
+            stack.append(_CVal(_Val(d_new, dp, dwv), rgb, drp, drw))
+        elif op in (
+            oc.OP_SMOOTH_UNION,
+            oc.OP_SMOOTH_SUBTRACTION,
+            oc.OP_SMOOTH_INTERSECTION,
+        ):
+            b = stack.pop()
+            a = stack.pop()
+            av, bv = a.v, b.v
+            kw = pw[0]
+            k = max(par[0], 1e-8)
+            k_pass = 1.0 if par[0] > 1e-8 else 0.0
+            if op == oc.OP_SMOOTH_UNION:
+                sx, sy, so = 1.0, 1.0, 1.0
+            elif op == oc.OP_SMOOTH_SUBTRACTION:
+                sx, sy, so = -1.0, 1.0, -1.0
+            else:
+                sx, sy, so = -1.0, -1.0, -1.0
+            x, y = sx * av.d, sy * bv.d
+            delta = x - y
+            habs = np.abs(delta)
+            hact = (habs < k).astype(np.float64)
+            h = np.maximum(k - habs, 0.0) / k
+            m = np.minimum(x, y)
+            wx = (x <= y).astype(np.float64)
+            dsm_dx = wx - 0.5 * h * (-np.sign(delta)) * hact
+            dsm_dy = (1 - wx) - 0.5 * h * (np.sign(delta)) * hact
+            dsm_dk = -((2.0 * h * (habs / k) * hact + h * h) / 4.0)
+            d_new = so * (m - h * h * k * 0.25)
+            da_ = so * dsm_dx * sx
+            db_ = so * dsm_dy * sy
+            dk_ = so * dsm_dk * k_pass
+            dp = da_[:, None] * av.dp + db_[:, None] * bv.dp
+            dwv = da_[:, None] * av.dw + db_[:, None] * bv.dw
+            dwv[:, kw] += dk_
+            # Material weight (sdf._mat_weight_smooth conventions):
+            #  union:        w(da, db)     = clip(.5 + .5(db-da)/k)
+            #  intersection: w(db, da)
+            #  subtraction:  w(-db, da)
+            if op == oc.OP_SMOOTH_UNION:
+                u1, u2 = av.d, bv.d
+                du1p, du2p = av.dp, bv.dp
+                du1w, du2w = av.dw, bv.dw
+            elif op == oc.OP_SMOOTH_INTERSECTION:
+                u1, u2 = bv.d, av.d
+                du1p, du2p = bv.dp, av.dp
+                du1w, du2w = bv.dw, av.dw
+            else:
+                u1, u2 = -bv.d, av.d
+                du1p, du2p = -bv.dp, av.dp
+                du1w, du2w = -bv.dw, av.dw
+            wraw = 0.5 + 0.5 * (u2 - u1) / k
+            wcl = np.clip(wraw, 0.0, 1.0)
+            wact = ((wraw > 0.0) & (wraw < 1.0)).astype(np.float64)
+            dwgt_p = wact[:, None] * 0.5 * (du2p - du1p) / k
+            dwgt_w = wact[:, None] * 0.5 * (du2w - du1w) / k
+            dwgt_k = -wact * 0.5 * (u2 - u1) / (k * k) * k_pass
+            dwgt_w = dwgt_w.copy()
+            dwgt_w[:, kw] += dwgt_k
+            diff_rgb = a.rgb - b.rgb
+            rgb = wcl[:, None] * a.rgb + (1 - wcl)[:, None] * b.rgb
+            drp = (
+                wcl[:, None, None] * a.drp
+                + (1 - wcl)[:, None, None] * b.drp
+                + diff_rgb[:, :, None] * dwgt_p[:, None, :]
+            )
+            drw = (
+                wcl[:, None, None] * a.drw
+                + (1 - wcl)[:, None, None] * b.drw
+                + diff_rgb[:, :, None] * dwgt_w[:, None, :]
+            )
+            stack.append(_CVal(_Val(d_new, dp, dwv), rgb, drp, drw))
+        elif op == oc.OP_ROUND:
+            a = stack.pop()
+            dwv = a.v.dw.copy()
+            dwv[:, pw[0]] += -1.0
+            stack.append(
+                _CVal(_Val(a.v.d - par[0], a.v.dp, dwv), a.rgb, a.drp, a.drw)
+            )
+        elif op == oc.OP_ONION:
+            a = stack.pop()
+            s = np.sign(a.v.d)
+            dwv = s[:, None] * a.v.dw
+            dwv[:, pw[0]] += -1.0
+            stack.append(
+                _CVal(
+                    _Val(np.abs(a.v.d) - par[0], s[:, None] * a.v.dp, dwv),
+                    a.rgb,
+                    a.drp,
+                    a.drw,
+                )
+            )
+        else:
+            raise NotImplementedError(
+                f"color-grad oracle: unsupported opcode {op}"
+            )
+    if len(stack) != 1:
+        raise ValueError(f"malformed tape: final stack size {len(stack)}")
+    out = stack[0]
+    return out.rgb, out.drp, out.drw

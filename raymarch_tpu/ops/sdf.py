@@ -441,11 +441,14 @@ def make_scene_color_fn(spec: TapeSpec, cfg: RenderConfig):
             arg = arrays.tape_arg[i]
             k = arrays.op_param[i]
             slot = arrays.out_slot[i]
-            pair = jax.lax.dynamic_slice(stack, (slot, 0, 0), (2, 4, n))
+            # zero index typed like `slot` (x64 mode would otherwise make
+            # the literal an int64 and dynamic_slice rejects mixed widths)
+            z = jnp.zeros((), slot.dtype)
+            pair = jax.lax.dynamic_slice(stack, (slot, z, z), (2, 4, n))
             a, b = pair[0], pair[1]
             leaf = jnp.take(D4, arg, axis=0)
             val = jax.lax.switch(op, branches, a, b, leaf, k)
-            return jax.lax.dynamic_update_slice(stack, val[None], (slot, 0, 0))
+            return jax.lax.dynamic_update_slice(stack, val[None], (slot, z, z))
 
         stack0 = jnp.full((S + 1, 4, n), cfg.max_dist, dtype=points.dtype)
         stack0 = stack0.at[:, 1:4, :].set(default[None, :, None])

@@ -478,3 +478,190 @@ class TestPixelGradExtendedRtol1em4:
                 )
                 checked += 1
         assert checked >= 30
+
+
+class TestCameraPoseGradRtol1em4:
+    def test_camera_pose_grads_rtol1e4(self, x64):
+        """d(pixel)/d(camera position + raw quaternion) through raygen:
+        device AD vs the analytic oracle's camera chain at rtol 1e-4."""
+        import jax
+        import jax.numpy as jnp
+
+        W = H = 24
+        tape = rm.encode_wire(SCENE)
+        spec, arrays = rm.compile_scene(SCENE, rebalance=False)
+        S = CFG.aa_samples**2
+        idx = jnp.arange(W * H * S, dtype=jnp.int32)
+        pos64 = jnp.asarray(CAM.position, jnp.float64)
+        quat64 = jnp.asarray(CAM.rotation, jnp.float64)
+
+        from raymarch_tpu.ops import march as march_mod
+
+        a64 = arrays_f64(arrays)
+
+        def render(campos, camquat):
+            o, d = rm.raygen_flat(idx, campos, camquat, W, H, CFG)
+            colors = march_mod.render_rays(
+                spec, a64, o, d, CFG, mode="implicit"
+            )
+            return colors.reshape(H, W, S, 3).mean(2)
+
+        img_d, vjp = jax.vjp(render, pos64, quat64)
+
+        o_dev, d_dev = rm.raygen_flat(idx, pos64, quat64, W, H, CFG)
+        o_np = np.asarray(o_dev, np.float64)
+        d_np = np.asarray(d_dev, np.float64)
+        col, _dcol, dcam = pixel_grads(
+            tape, o_np, d_np, CFG, cam_rotation=np.asarray(CAM.rotation)
+        )
+        img_o = col.reshape(H, W, S, 3).mean(2)
+        dcam_px = dcam.reshape(H, W, S, 3, 7).mean(2)
+        np.testing.assert_allclose(np.asarray(img_d), img_o, rtol=1e-4, atol=1e-6)
+
+        hit_o = _march_hits(tape, o_np, d_np)
+        march = march_mod.make_march(spec, CFG, "forward")
+        _, hit_d, _ = march(o_dev, d_dev, a64)
+        agree = (
+            (np.asarray(hit_d) > 0.5).reshape(H, W, S)
+            == hit_o.reshape(H, W, S)
+        ).all(axis=2)
+        hit_px = hit_o.reshape(H, W, S).any(2) & agree
+        ys, xs = np.nonzero(hit_px)
+        sel = list(zip(ys[:: max(1, len(ys) // 10)], xs[:: max(1, len(ys) // 10)]))
+        checked = 0
+        for (py, px) in sel[:10]:
+            for ch in range(3):
+                g = np.zeros((H, W, 3))
+                g[py, px, ch] = 1.0
+                dpos, dquat = vjp(jnp.asarray(g))
+                dev = np.concatenate([np.asarray(dpos), np.asarray(dquat)])
+                orc = dcam_px[py, px, ch]
+                np.testing.assert_allclose(
+                    dev, orc, rtol=1e-4, atol=1e-9,
+                    err_msg=f"pixel ({py},{px}) ch {ch}",
+                )
+                checked += 1
+        assert checked >= 24
+
+
+SCENE_MAT = (
+    rm.sphere(center=(-0.55, 0.0, 0.1), radius=0.85, material=(0.8, 0.2, 0.1))
+    .union(
+        rm.box(
+            center=(0.7, 0.05, -0.1),
+            half_extents=(0.45, 0.5, 0.4),
+            material=(0.1, 0.3, 0.9),
+        ),
+        k=0.35,
+    )
+    | rm.torus(center=(0.0, 0.85, 0.0), major_radius=0.6, minor_radius=0.2)
+)
+
+
+class TestMaterialGradRtol1em4:
+    def test_albedo_color_grads_vs_fd(self):
+        # Anchor eval_tape_color_grads against f64 central differences for
+        # every param word (geometry words move blend weights; albedo words
+        # move colors directly).
+        tape = rm.encode_wire(SCENE_MAT).copy()
+        rng = np.random.default_rng(17)
+        pts = rng.uniform(-1.5, 1.5, (64, 3))
+        from raymarch_tpu.ops.oracle_grad import eval_tape_color_grads
+
+        _, _, drw = eval_tape_color_grads(tape, pts, CFG)
+        f32 = tape.view(np.float32)
+        for w in _param_words(tape):
+            eps = 1e-4 * max(1.0, abs(float(f32[w])))
+            t_hi = tape.copy()
+            t_hi.view(np.float32)[w] = f32[w] + eps
+            t_lo = tape.copy()
+            t_lo.view(np.float32)[w] = f32[w] - eps
+            hi, _, _ = eval_tape_color_grads(t_hi, pts, CFG)
+            lo, _, _ = eval_tape_color_grads(t_lo, pts, CFG)
+            step = float(t_hi.view(np.float32)[w]) - float(
+                t_lo.view(np.float32)[w]
+            )
+            fd = (hi - lo) / step
+            err = np.abs(drw[:, :, w] - fd)
+            tol = 5e-4 * np.maximum(1.0, np.abs(fd))
+            assert (err > tol).mean() < 0.06, (w, err.max())
+
+    def test_material_pixel_grads_rtol1e4(self, x64):
+        """Painted-material scene: device AD pixel gradients (incl. albedo
+        words and the geometry->blend-weight chain) vs the analytic oracle
+        at rtol 1e-4."""
+        import jax
+        import jax.numpy as jnp
+
+        W = H = 24
+        tape = rm.encode_wire(SCENE_MAT)
+        # static=True: the unrolled color path (the dynamic fori_loop color
+        # interpreter trips an XLA abort when toggled into x64 after f32
+        # runs in the same process; lowering order is identical with
+        # rebalance=False, so the word map is unchanged)
+        spec, arrays = rm.compile_scene(SCENE_MAT, rebalance=False, static=True)
+        assert spec.has_materials
+        wmap = _word_map(tape, spec)
+        S = CFG.aa_samples**2
+        idx = jnp.arange(W * H * S, dtype=jnp.int32)
+        o_dev, d_dev = rm.raygen_flat(
+            idx,
+            jnp.asarray(CAM.position, jnp.float64),
+            jnp.asarray(CAM.rotation, jnp.float64),
+            W,
+            H,
+            CFG,
+        )
+        o_np = np.asarray(o_dev, np.float64)
+        d_np = np.asarray(d_dev, np.float64)
+        col, dcol = pixel_grads(tape, o_np, d_np, CFG)
+        Wt = len(tape)
+        img_o = col.reshape(H, W, S, 3).mean(2)
+        dimg_o = dcol.reshape(H, W, S, 3, Wt).mean(2)
+        hit_o = _march_hits(tape, o_np, d_np)
+
+        lp64 = jnp.asarray(arrays.leaf_params, jnp.float64)
+        opp64 = jnp.asarray(arrays.op_param, jnp.float64)
+        from raymarch_tpu.ops import march as march_mod
+
+        def render(lp, opp):
+            import dataclasses as dc
+
+            a = dc.replace(arrays, leaf_params=lp, op_param=opp)
+            colors = march_mod.render_rays(
+                spec, a, o_dev, d_dev, CFG, mode="implicit"
+            )
+            return colors.reshape(H, W, S, 3).mean(2)
+
+        img_d, vjp = jax.vjp(render, lp64, opp64)
+        np.testing.assert_allclose(np.asarray(img_d), img_o, rtol=1e-4, atol=1e-6)
+
+        march = march_mod.make_march(spec, CFG, "forward")
+        _, hit_d, _ = march(o_dev, d_dev, arrays_f64(arrays))
+        agree = (
+            (np.asarray(hit_d) > 0.5).reshape(H, W, S)
+            == hit_o.reshape(H, W, S)
+        ).all(axis=2)
+        hit_px = hit_o.reshape(H, W, S).any(2) & agree
+        ys, xs = np.nonzero(hit_px)
+        sel = list(zip(ys[:: max(1, len(ys) // 10)], xs[:: max(1, len(ys) // 10)]))
+        checked = 0
+        for (py, px) in sel[:10]:
+            for ch in range(3):
+                g = np.zeros((H, W, 3))
+                g[py, px, ch] = 1.0
+                dlp, dopp = vjp(jnp.asarray(g))
+                dev = np.zeros(Wt)
+                orc = np.zeros(Wt)
+                for w, m in wmap.items():
+                    if m[0] == "leaf":
+                        dev[w] = float(np.asarray(dlp)[m[1], m[2]])
+                    else:
+                        dev[w] = float(np.asarray(dopp)[m[1]])
+                    orc[w] = dimg_o[py, px, ch, w]
+                np.testing.assert_allclose(
+                    dev, orc, rtol=1e-4, atol=1e-9,
+                    err_msg=f"pixel ({py},{px}) ch {ch}",
+                )
+                checked += 1
+        assert checked >= 24
