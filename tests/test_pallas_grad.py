@@ -173,3 +173,121 @@ class TestCulledBackward:
             )
         # sanity: the visible sphere actually has gradient signal
         assert np.abs(np.asarray(grads[True][0])).max() > 1e-6
+
+
+class TestFusedVjpVsAnalyticOracle:
+    def test_fused_backward_matches_oracle_grad(self):
+        """Chain the PRODUCTION fit backend (make_fused_render_vjp, f32
+        Pallas fwd+bwd) directly to the f64 analytic oracle
+        (ops.oracle_grad) instead of only to the jnp path: gradients of a
+        weighted-pixel loss w.r.t. every leaf/op param word and the camera
+        pose must agree at f32-appropriate tolerance on pixels where both
+        sides agree on the forward image."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.oracle_grad import pixel_grads
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2, max_iter=80)
+        scene = (
+            rm.sphere(center=(-0.55, 0.0, 0.1), radius=0.85).union(
+                rm.box(center=(0.7, 0.05, -0.1), half_extents=(0.45, 0.5, 0.4)),
+                k=0.35,
+            )
+        ) - rm.torus(
+            center=(0.0, 0.75, 0.0), major_radius=0.65, minor_radius=0.22
+        )
+        cam = rm.Camera.looking_at(
+            position=(0.4, 1.5, 4.0), target=(0.0, 0.0, 0.0)
+        )
+        W, H = 64, 32
+        tape = rm.encode_wire(scene)
+        spec, arrays = rm.compile_scene(scene, static=True, rebalance=False)
+        from test_grad_oracle import _word_map
+
+        wmap = _word_map(tape, spec)
+
+        rv = make_fused_render_vjp(
+            spec, cfg, W, H, interpret=True, prepass_block=1
+        )
+        cam_vec = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        lp = jnp.asarray(arrays.leaf_params)
+        opp = jnp.asarray(arrays.op_param)
+
+        def img_of(lp_, opp_, cv_):
+            return rv(dc.replace(arrays, leaf_params=lp_, op_param=opp_), cv_)
+
+        img_d = np.asarray(img_of(lp, opp, cam_vec))
+
+        # Oracle forward + per-ray gradients on the device's own rays.
+        S = cfg.aa_samples**2
+        idx = jnp.arange(W * H * S, dtype=jnp.int32)
+        o_dev, d_dev = rm.raygen_flat(
+            idx,
+            jnp.asarray(cam.position, jnp.float64),
+            jnp.asarray(cam.rotation, jnp.float64),
+            W,
+            H,
+            cfg,
+        )
+        col, dcol, dcam = pixel_grads(
+            tape,
+            np.asarray(o_dev, np.float64),
+            np.asarray(d_dev, np.float64),
+            cfg,
+            cam_rotation=np.asarray(cam.rotation),
+        )
+        img_o = col.reshape(H, W, S, 3).mean(2)
+
+        # Weight mask: pixels where the f32 fused forward and the f64
+        # oracle agree closely (excludes the cone-prepass / grazing-sample
+        # tolerance class from the gradient comparison).
+        agree = np.abs(img_d - img_o).max(-1) < 1e-4
+        assert agree.mean() > 0.9
+        rng = np.random.default_rng(23)
+        G = rng.uniform(0.5, 1.5, (H, W, 3)) * agree[:, :, None]
+
+        gl, go, gc = jax.grad(
+            lambda lp_, opp_, cv_: jnp.sum(
+                img_of(lp_, opp_, cv_) * jnp.asarray(G, jnp.float32)
+            ),
+            argnums=(0, 1, 2),
+        )(lp, opp, cam_vec)
+        gl, go, gc = np.asarray(gl), np.asarray(go), np.asarray(gc)
+
+        Wt = len(tape)
+        Gray = np.repeat(G[:, :, None, :], S, axis=2).reshape(-1, 3) / S
+        oracle_words = np.einsum("nc,ncw->w", Gray, dcol)
+        oracle_cam = np.einsum("nc,ncw->w", Gray, dcam)
+
+        dev_words = np.zeros(Wt)
+        for w, m in wmap.items():
+            if m[0] == "leaf":
+                dev_words[w] = gl[m[1], m[2]]
+            else:
+                dev_words[w] = go[m[1]]
+
+        # Tolerance: the fused kernel runs f32; its ~1e-7-relative
+        # rounding passes through the eps=1e-4 tetrahedron taps, putting
+        # the genuine noise floor of individual gradient components at the
+        # percent level (measured: words spread 0..1.7% rel, median ~0.5%).
+        # Bound every word at 3% rel and the median at 1%.
+        scale = np.abs(oracle_words).max()
+        np.testing.assert_allclose(
+            dev_words, oracle_words, rtol=3e-2, atol=1e-3 * scale
+        )
+        rel = np.abs(dev_words - oracle_words) / (
+            np.abs(oracle_words) + 1e-3 * scale
+        )
+        assert np.median(rel) < 1e-2, rel
+        cscale = np.abs(oracle_cam).max()
+        np.testing.assert_allclose(
+            gc[:7], oracle_cam, rtol=3e-2, atol=1e-3 * cscale
+        )
