@@ -136,22 +136,40 @@ def make_sharded_renderer(
     mode: str = "forward",
     backend: str = "jnp",
     interpret: bool = False,
+    row_interleave: int = 1,
 ):
     """`render(arrays, camera) -> image[H,W,3]`, row-sharded over the mesh.
 
     The scene and camera are replicated; the output image is sharded by rows
     (gathered implicitly when the caller materializes it).
+
+    `row_interleave` = k splits the image into k*n_devices CONTIGUOUS bands
+    and assigns them round-robin: device d renders bands d, d+n, ..., so
+    each device gets a SPREAD of sky-heavy and scene-center rows instead of
+    one contiguous block — the load-balance fix for the straggler-band
+    problem (ARCHITECTURE.md, row-band skew). Bands stay contiguous inside
+    each kernel launch, so the per-tile cone/cull accelerators keep their
+    spatial locality (a per-ROW stride would spread every kernel tile
+    across the whole image and void the tile cones); the cost is k kernel
+    launches per device per frame. AA never crosses rows, so any k is
+    exact.
     """
     n = mesh.shape[RAY_AXIS]
-    rows_per = -(-height // n)  # ceil
-    h_pad = rows_per * n
+    k = max(1, int(row_interleave))
+    m = n * k  # total bands, band b owned by device b % n
+    band_rows = -(-height // m)  # ceil
+    h_pad = band_rows * m
     render_band = _local_renderer(
-        spec, width, height, cfg, mode, backend, rows_per, interpret
+        spec, width, height, cfg, mode, backend, band_rows, interpret
     )
 
     def local_fn(arrays, camera):
         d = jax.lax.axis_index(RAY_AXIS)
-        return render_band(arrays, camera, d * rows_per, rows_per)
+        outs = [
+            render_band(arrays, camera, (d + j * n) * band_rows, band_rows)
+            for j in range(k)
+        ]
+        return outs[0] if k == 1 else jnp.concatenate(outs, axis=0)
 
     sharded = shard_map(
         local_fn,
@@ -163,6 +181,14 @@ def make_sharded_renderer(
 
     def render(arrays: TapeArrays, camera):
         img = sharded(arrays, camera)
+        if k > 1:
+            # Gathered row blocks arrive in (device, j) order; image band
+            # b = d + j*n sits at block d*k + j -> transpose to b order.
+            img = (
+                img.reshape(n, k, band_rows, width, 3)
+                .transpose(1, 0, 2, 3, 4)
+                .reshape(h_pad, width, 3)
+            )
         return img[:height] if h_pad != height else img
 
     return render
@@ -181,6 +207,7 @@ def make_fit_step(
     grad_mask=None,
     interpret: bool = False,
     camera_optimizer=None,
+    row_interleave: int = 1,
 ):
     """Build a pjit-able distributed training step for inverse rendering
     (BASELINE config 3: fit primitive params / blend radii to a target image
@@ -195,40 +222,51 @@ def make_fit_step(
     `opt_state` alongside the scene-parameter state, so `init_opt_state`
     then takes the camera too: init_opt_state(arrays, camera).
 
-    Inside shard_map each device computes the gradient of ITS row band's
+    Inside shard_map each device computes the gradient of ITS row bands'
     summed squared error w.r.t. the replicated parameters, then `psum`s
     gradients and loss over the mesh — the all-reduce is the only
     communication and overlaps with the backward pass under XLA's scheduler.
+    `row_interleave` assigns k round-robin bands per device (see
+    make_sharded_renderer) — the load-balanced layout.
     """
     n = mesh.shape[RAY_AXIS]
-    rows_per = -(-height // n)
+    k = max(1, int(row_interleave))
+    m = n * k
+    rows_per = -(-height // m)  # rows per BAND
     render_band = _local_renderer(
         spec, width, height, cfg, mode, backend, rows_per, interpret
     )
     denom = float(height * width * 3)
 
-    def local_value_and_grad(arrays, camera, target_band, i0, rows_valid):
+    def local_value_and_grad(arrays, camera, target_shard, d):
         def local_loss(diff_params):
             la, cam = diff_params
             a = dataclasses.replace(
                 arrays, leaf_params=la[0], op_param=la[1]
             )
-            img = render_band(a, cam if fit_camera else camera, i0, rows_per)
-            row_mask = (
-                jnp.arange(rows_per, dtype=jnp.int32) < rows_valid
-            ).astype(img.dtype)[:, None, None]
-            return jnp.sum(row_mask * (img - target_band) ** 2) / denom
+            total = 0.0
+            for j in range(k):
+                i0 = (d + j * n) * rows_per
+                rows_valid = jnp.clip(height - i0, 0, rows_per)
+                img = render_band(
+                    a, cam if fit_camera else camera, i0, rows_per
+                )
+                row_mask = (
+                    jnp.arange(rows_per, dtype=jnp.int32) < rows_valid
+                ).astype(img.dtype)[:, None, None]
+                tb = target_shard[j * rows_per : (j + 1) * rows_per]
+                total = total + jnp.sum(row_mask * (img - tb) ** 2)
+            return total / denom
 
         diff = ((arrays.leaf_params, arrays.op_param), camera)
         loss, grads = jax.value_and_grad(local_loss)(diff)
         return loss, grads
 
-    def local_fn(arrays, camera, target_band):
-        # target_band is this device's row shard of the (padded) target.
+    def local_fn(arrays, camera, target_shard):
+        # target_shard is this device's k bands of the (padded, band-
+        # permuted) target, in j order.
         d = jax.lax.axis_index(RAY_AXIS)
-        i0 = d * rows_per
-        rows_valid = jnp.clip(height - i0, 0, rows_per)
-        loss, grads = local_value_and_grad(arrays, camera, target_band, i0, rows_valid)
+        loss, grads = local_value_and_grad(arrays, camera, target_shard, d)
         loss = jax.lax.psum(loss, RAY_AXIS)
         grads = jax.lax.psum(grads, RAY_AXIS)
         return loss, grads
@@ -243,9 +281,17 @@ def make_fit_step(
     )
 
     def pad_target(target):
-        h_pad = rows_per * n
+        h_pad = rows_per * m
         if h_pad != height:
             target = jnp.pad(target, ((0, h_pad - height), (0, 0), (0, 0)))
+        if k > 1:
+            # Band b = d + j*n must land on device d at local position j:
+            # permute (j-major band order) -> (device, j) order.
+            target = (
+                target.reshape(k, n, rows_per, width, 3)
+                .transpose(1, 0, 2, 3, 4)
+                .reshape(h_pad, width, 3)
+            )
         return target
 
     if fit_camera and camera_optimizer is None:

@@ -196,3 +196,77 @@ class TestDistributedFit:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(cam.rotation)), 1.0, rtol=1e-5
         )
+
+
+class TestRowInterleave:
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_interleaved_equals_single(self, compiled, k):
+        import jax
+
+        spec, arrays = compiled
+        W, H = 32, 36  # not divisible by n*k: exercises padding
+        mesh = make_mesh(8)
+        sharded = jax.jit(
+            make_sharded_renderer(spec, W, H, mesh, CFG, row_interleave=k)
+        )
+        img_s = np.asarray(sharded(arrays, CAM))
+        single = jax.jit(rm.make_renderer(spec, W, H, CFG, mode="forward"))
+        img_1 = np.asarray(single(arrays, CAM))
+        assert img_s.shape == img_1.shape == (H, W, 3)
+        np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+    def test_interleaved_pallas_prepass_equals_single(self, compiled):
+        import jax
+        import jax.numpy as jnp
+        from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+        spec_s, arrays_s = rm.compile_scene(SCENE, static=True)
+        W, H = 32, 32
+        mesh = make_mesh(4)
+        sharded = jax.jit(
+            make_sharded_renderer(
+                spec_s, W, H, mesh, CFG, backend="pallas_prepass",
+                interpret=True, row_interleave=2,
+            )
+        )
+        img_s = np.asarray(sharded(arrays_s, CAM))
+        single = make_pallas_image_render_aa(
+            spec_s, CFG, W, H, interpret=True, bm_coarse=8, bm_fine=8,
+            prepass_block=1,
+        )
+        cv = jnp.asarray(
+            np.concatenate([CAM.position, CAM.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        img_1 = np.asarray(single(arrays_s, cv))
+        # Same tolerance class as the contiguous-band prepass test
+        # (test_parallel_fused): different compiled artifacts differ by
+        # ulps/step, flipping isolated hit-threshold pixels.
+        d = np.abs(img_s - img_1)
+        assert d.mean() < 1e-5, d.mean()
+        assert (d.max(-1) > 1e-3).mean() < 0.01
+
+    def test_interleaved_fit_grads_match_contiguous(self, compiled):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        spec, arrays = compiled
+        W = H = 24
+        mesh = make_mesh(8)
+        target = jnp.zeros((H, W, 3), jnp.float32) + 0.25
+        step1 = make_fit_step(spec, W, H, mesh, optax.sgd(1.0), CFG)
+        stepk = make_fit_step(
+            spec, W, H, mesh, optax.sgd(1.0), CFG, row_interleave=2
+        )
+        s1 = step1.init_opt_state(arrays)
+        sk = stepk.init_opt_state(arrays)
+        a1, _, _, l1 = jax.jit(step1)(arrays, CAM, s1, target)
+        ak, _, _, lk = jax.jit(stepk)(arrays, CAM, sk, target)
+        np.testing.assert_allclose(float(l1), float(lk), rtol=1e-5)
+        # f32 summation order differs (k per-device band sums vs one):
+        # same tolerance class as the cross-mesh-layout test above.
+        np.testing.assert_allclose(
+            np.asarray(a1.leaf_params), np.asarray(ak.leaf_params), atol=1e-4
+        )
