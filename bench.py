@@ -522,6 +522,29 @@ def main():
             file=sys.stderr,
         )
 
+        # 64-primitive fwd+bwd through the O(active) compact backward
+        # (winner-masked min-fold transpose; pallas_grad._make_compact_bwd).
+        rv64 = make_fused_render_vjp(spec64, cfg64, WIDTH, HEIGHT)
+        assert rv64.compact_bwd, "64-leaf scene must take the compact backward"
+
+        def loss64(lp, opp, c):
+            a = dataclasses.replace(arrays64, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv64(a, c) ** 2)
+
+        grad64 = jax.jit(
+            lambda lp, opp, c: jax.grad(loss64, argnums=(0, 1, 2))(lp, opp, c)
+        )
+        lp64_ = jnp.asarray(arrays64.leaf_params)
+        opp64_ = jnp.asarray(arrays64.op_param)
+        dt_b64, _ = timeit(
+            grad64, lp64_, opp64_, cam64_vec, warmup=2, frames=10, reps=2
+        )
+        print(
+            f"64-primitive fwd+bwd (compact O(active) vjp): {dt_b64*1e3:.1f} ms, "
+            f"{n_rays/dt_b64/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+
         render = rm.make_renderer(
             spec_s, WIDTH, HEIGHT, cfg, mode="implicit", backend="pallas",
             chunk=1 << 20,

@@ -82,6 +82,414 @@ def _static_int_arrays(spec: TapeSpec):
     return ops, arg, slot
 
 
+
+
+class _OneRow:
+    """Adapter: `view[row, col]` -> params[col] over one leaf's 16 scalar
+    params, so `_leaf_distance_tile` runs unchanged on differentiable
+    scalars inside per-row vjp bodies (the row key is ignored)."""
+
+    def __init__(self, params):
+        self._p = params
+
+    def __getitem__(self, idx):
+        return self._p[idx[1]]
+
+
+def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
+                      interpret):
+    """O(active) backward kernel for PURE hard-union compact plans.
+
+    The legacy backward kernel holds the whole unrolled scene transpose in
+    its grad graph — program size O(n_leaves), and past IMEM capacity the
+    core streams instructions per grid step regardless of branches (same
+    pathology as the forward, see _make_scene_eval_compact). For a hard
+    union the scene transpose is trivial: min-fold sends each evaluation's
+    cotangent to the WINNING leaf only. So this kernel:
+
+      1. re-folds the compacted active list at the 4 tap points + the hit
+         point, carrying (value, argmin row) — O(active) work, O(1) code;
+      2. gets the shading-chain cotangents from jax.grad of a SMALL
+         scene-free function (tap values, t, camera as inputs);
+      3. loops the active rows once more, accumulating each winner-masked
+         cotangent through jax.vjp of the SINGLE-leaf distance (exact
+         per-type/rotation partials for free) into an O(1)-size VMEM
+         accumulator via one-hot row masks — no dynamic scatter;
+      4. assembles the implicit-function t term and the camera chain from
+         the same per-row loop's position cotangents + one raygen vjp.
+
+    No-hit tiles contribute EXACTLY zero gradient (the floor/miss chain is
+    piecewise constant: checker parity passes an int cast, all gates select
+    constants), so they skip everything. Returns
+    run(lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb)
+      -> (d_lp[n_leaves,16->LEAF_PARAM_WIDTH], d_cam[7]).
+    """
+    naa = cfg.aa_samples
+    S = naa * naa
+    TS = 128
+    aa_pack = TS // S
+    n_pty = (rows_out + aa_pack - 1) // aa_pack
+    Wp = ((width + LANES - 1) // LANES) * LANES
+    n_tx = Wp // LANES
+    tanf = math.tan(cfg.fovy / 2.0)
+    aspect = width / height
+    lx_, ly_, lz_ = cfg.light_position
+    ax_, ay_, az_ = cfg.albedo
+    fb_r, fb_g, fb_b = cfg.floor_base
+    eps = cfg.normal_eps
+    inv_s = 1.0 / S
+    from .culling import FAR
+
+    row_types = {r: (t, rot) for r, t, rot in _leaf_static_rows(spec)}
+    groups = [
+        (g["offset"], g["count_idx"], g["ltype"], g["rotated"])
+        for gi in plan["pool"]
+        for g in [plan["groups"][gi]]
+    ]
+    NLP = ((spec.n_leaves + 7) // 8) * 8  # sublane-padded accumulator rows
+    NC = oc.LEAF_PARAM_WIDTH  # param cols accumulated per leaf
+    _TAPS = (
+        (1.0, -1.0, -1.0),
+        (-1.0, -1.0, 1.0),
+        (-1.0, 1.0, -1.0),
+        (1.0, 1.0, 1.0),
+    )
+
+    def _raygen(cam, x, y):
+        vx = x * (tanf * aspect)
+        vy = y * tanf
+        vz = jnp.full(x.shape, -1.0, jnp.float32)
+        inv_norm = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+        vx, vy, vz = vx * inv_norm, vy * inv_norm, vz * inv_norm
+        qw, qx, qy, qz = cam[3], cam[4], cam[5], cam[6]
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        dx = vx + qw * tx + (qy * tz - qz * ty)
+        dy = vy + qw * ty + (qz * tx - qx * tz)
+        dz = vz + qw * tz + (qx * ty - qy * tx)
+        ox = jnp.zeros_like(dx) + cam[0]
+        oy = jnp.zeros_like(dy) + cam[1]
+        oz = jnp.zeros_like(dz) + cam[2]
+        return ox, oy, oz, dx, dy, dz
+
+    def bwd_kernel(
+        lp_ref, cam_ref, clf_ref, ccf_ref,
+        tm_ref, hm_ref, gr_ref, gg_ref, gb_ref,
+        gleaf_ref, gcam_ref, accv, acc_cam,
+    ):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        step = ty * n_tx + tx
+
+        @pl.when(step == 0)
+        def _():
+            accv[:] = jnp.zeros_like(accv)
+            for j in range(7):
+                acc_cam[j] = 0.0
+
+        u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
+        pyl = u // S
+        s = u - pyl * S
+        ii = ty * aa_pack + pyl
+        jj = tx * LANES + jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 1)
+        a_ = s // naa
+        b_ = s - a_ * naa
+        fa = (a_.astype(jnp.float32) + 0.5) / naa - 0.5
+        fb = (b_.astype(jnp.float32) + 0.5) / naa - 0.5
+        x = 2.0 * (jj.astype(jnp.float32) + 0.5) / width - 1.0 + fa * (
+            2.0 / width
+        )
+        y = 1.0 - 2.0 * (
+            ii.astype(jnp.float32) + 0.5 + cam_ref[7]
+        ) / height + fb * (2.0 / height)
+
+        cam_scal = tuple(cam_ref[j] for j in range(7))
+        ox, oy, oz, dx, dy, dz = _raygen(cam_scal, x, y)
+        t = tm_ref[:]
+        hit = hm_ref[:]
+
+        def up(v):
+            return jnp.broadcast_to(
+                v[:, None, :], (aa_pack, S, LANES)
+            ).reshape(TS, LANES)
+
+        gr = up(gr_ref[:]) * inv_s
+        gg = up(gg_ref[:]) * inv_s
+        gb = up(gb_ref[:]) * inv_s
+
+        tid = ((ty * aa_pack) // MHL) * n_ftx + tx
+
+        def do_tile():
+            th = t * hit
+            px = ox + dx * th
+            py = oy + dy * th
+            pz = oz + dz * th
+            pts = [
+                (px + kx * eps, py + ky * eps, pz + kz * eps)
+                for (kx, ky, kz) in _TAPS
+            ] + [(px, py, pz)]
+
+            # Pass 1: winner folds (value + argmin row) at the 5 points.
+            vals, wins = [], []
+            for pt in pts:
+                acc0 = px * 0.0 + FAR
+                win0 = jnp.zeros((TS, LANES), jnp.int32) - 1
+
+                def fold(acc_win, pt=pt):
+                    acc, win = acc_win
+                    for off, cidx, lt, rot in groups:
+                        def body(j, carry, _off=off, _lt=lt, _rot=rot):
+                            a, w = carry
+                            row = clf_ref[tid, _off + j]
+                            dv = _leaf_distance_tile(
+                                lp_ref, row, _lt, _rot, *pt
+                            )
+                            sel = dv < a
+                            return (
+                                jnp.minimum(a, dv),
+                                jnp.where(sel, row, w),
+                            )
+
+                        acc, win = jax.lax.fori_loop(
+                            0, ccf_ref[tid, cidx], body, (acc, win)
+                        )
+                    return acc, win
+
+                acc, win = fold((acc0, win0))
+                vals.append(acc)
+                wins.append(win)
+            win_pos = wins[4]
+
+            # Pass 2: fdot = grad_x(scene) . d at pos (winner-masked jvp).
+            fdot = px * 0.0
+            for off, cidx, lt, rot in groups:
+                def body2(j, fd, _off=off, _lt=lt, _rot=rot):
+                    row = clf_ref[tid, _off + j]
+                    _, dd = jax.jvp(
+                        lambda qx, qy, qz: _leaf_distance_tile(
+                            lp_ref, row, _lt, _rot, qx, qy, qz
+                        ),
+                        (px, py, pz),
+                        (dx, dy, dz),
+                    )
+                    return fd + jnp.where(win_pos == row, dd, 0.0)
+
+                fdot = jax.lax.fori_loop(
+                    0, ccf_ref[tid, cidx], body2, fdot
+                )
+
+            # Pass 3: shading cotangents from the scene-free chain.
+            def shade_small(inp):
+                f0, f1, f2, f3, tt, cam = inp
+                o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+                q_x = o1x + d1x * tt * hit
+                q_y = o1y + d1y * tt * hit
+                q_z = o1z + d1z * tt * hit
+                nx = f0 - f1 - f2 + f3
+                ny = -f0 - f1 + f2 + f3
+                nz = -f0 + f1 - f2 + f3
+                ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+                tlx = q_x - lx_
+                tly = q_y - ly_
+                tlz = q_z - lz_
+                linv = jax.lax.rsqrt(
+                    tlx * tlx + tly * tly + tlz * tlz + 1e-20
+                )
+                diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+                diff = jnp.maximum(diff, cfg.ambient)
+                dy_abs_ok = jnp.where(jnp.abs(d1y) > 1e-8, 1.0, 0.0)
+                dy_safe = jnp.where(jnp.abs(d1y) > 1e-8, d1y, 1e-8)
+                ft = (cfg.floor_y - o1y) / dy_safe
+                fx = jnp.clip(o1x + d1x * ft, -1e7, 1e7)
+                fz = jnp.clip(o1z + d1z * ft, -1e7, 1e7)
+                ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+                ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+                parity = (
+                    jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)
+                ).astype(jnp.float32)
+                on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+                fcr = (fb_r + cfg.floor_checker * parity) * on_floor
+                fcg = (fb_g + cfg.floor_checker * parity) * on_floor
+                fcb = (fb_b + cfg.floor_checker * parity) * on_floor
+                miss = 1.0 - hit
+                cr = jnp.sqrt(
+                    jnp.maximum(hit * (ax_ * diff) + miss * fcr, 0.0) + 1e-12
+                )
+                cg = jnp.sqrt(
+                    jnp.maximum(hit * (ay_ * diff) + miss * fcg, 0.0) + 1e-12
+                )
+                cb = jnp.sqrt(
+                    jnp.maximum(hit * (az_ * diff) + miss * fcb, 0.0) + 1e-12
+                )
+                return jnp.sum(cr * gr + cg * gg + cb * gb)
+
+            w0, w1, w2, w3, gt_shade, gcam_shade = jax.grad(shade_small)(
+                (vals[0], vals[1], vals[2], vals[3], t, cam_scal)
+            )
+            wlist = [w0, w1, w2, w3]
+
+            # Pass 4a: tap cotangents -> per-leaf param grads + position
+            # cotangents (feeding t and the camera chain).
+            lane = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 1)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 0)
+
+            def accum_row(row, gp16):
+                acc = jnp.zeros((NLP, LANES), jnp.float32)
+                for c, g in enumerate(gp16):
+                    acc = acc + jnp.where(
+                        jnp.logical_and(rowi == row, lane == c), g, 0.0
+                    )
+                accv[:] += acc
+
+            gt_extra = px * 0.0
+            go = [px * 0.0, px * 0.0, px * 0.0]
+            gd = [px * 0.0, px * 0.0, px * 0.0]
+
+            # Taps-only loop (i < 4) to get gt_extra, then the implicit
+            # loop with w_pos. Two row sweeps keep the dataflow acyclic.
+            for off, cidx, lt, rot in groups:
+                def body_tap(j, carry, _off=off, _lt=lt, _rot=rot):
+                    gt_e, gox, goy, goz, gdx, gdy, gdz = carry
+                    row = clf_ref[tid, _off + j]
+                    params = tuple(
+                        lp_ref[row, c] for c in range(oc.LEAF_PARAM_WIDTH)
+                    )
+
+                    def f(prm, qx, qy, qz):
+                        return _leaf_distance_tile(
+                            _OneRow(prm), 0, _lt, _rot, qx, qy, qz
+                        )
+
+                    g16_tot = [jnp.float32(0.0)] * oc.LEAF_PARAM_WIDTH
+                    for i in range(4):
+                        cot = wlist[i] * jnp.where(wins[i] == row, 1.0, 0.0)
+                        _, vjp_f = jax.vjp(f, params, *pts[i])
+                        gprm, gqx, gqy, gqz = vjp_f(cot)
+                        g16_tot = [a + b for a, b in zip(g16_tot, gprm)]
+                        gt_e = gt_e + (gqx * dx + gqy * dy + gqz * dz) * hit
+                        gox = gox + gqx
+                        goy = goy + gqy
+                        goz = goz + gqz
+                        gdx = gdx + gqx * th
+                        gdy = gdy + gqy * th
+                        gdz = gdz + gqz * th
+                    accum_row(row, g16_tot)
+                    return (gt_e, gox, goy, goz, gdx, gdy, gdz)
+
+                carry = (gt_extra, go[0], go[1], go[2], gd[0], gd[1], gd[2])
+                carry = jax.lax.fori_loop(
+                    0, ccf_ref[tid, cidx], body_tap, carry
+                )
+                gt_extra, go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
+
+            gt_total = gt_shade + gt_extra
+            c = cfg.grad_denom_clamp
+            denom = jnp.where(
+                jnp.abs(fdot) > c, fdot, jnp.where(fdot >= 0, c, -c)
+            )
+            w_pos = -gt_total * hit / denom
+
+            for off, cidx, lt, rot in groups:
+                def body_pos(j, carry, _off=off, _lt=lt, _rot=rot):
+                    gox, goy, goz, gdx, gdy, gdz = carry
+                    row = clf_ref[tid, _off + j]
+                    params = tuple(
+                        lp_ref[row, c] for c in range(oc.LEAF_PARAM_WIDTH)
+                    )
+
+                    def f(prm, qx, qy, qz):
+                        return _leaf_distance_tile(
+                            _OneRow(prm), 0, _lt, _rot, qx, qy, qz
+                        )
+
+                    cot = w_pos * jnp.where(win_pos == row, 1.0, 0.0)
+                    _, vjp_f = jax.vjp(f, params, px, py, pz)
+                    gprm, gqx, gqy, gqz = vjp_f(cot)
+                    accum_row(row, list(gprm))
+                    return (
+                        gox + gqx,
+                        goy + gqy,
+                        goz + gqz,
+                        gdx + gqx * th,
+                        gdy + gqy * th,
+                        gdz + gqz * th,
+                    )
+
+                carry = (go[0], go[1], go[2], gd[0], gd[1], gd[2])
+                carry = jax.lax.fori_loop(
+                    0, ccf_ref[tid, cidx], body_pos, carry
+                )
+                go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
+
+            # Camera chain for the scene-side cotangents: one raygen vjp.
+            _, rg_vjp = jax.vjp(lambda cam: _raygen(cam, x, y), cam_scal)
+            (gcam_extra,) = rg_vjp(
+                (go[0], go[1], go[2], gd[0], gd[1], gd[2])
+            )
+            for j in range(7):
+                acc_cam[j] += gcam_shade[j] + gcam_extra[j]
+
+        @pl.when(jnp.max(hit) > 0.0)
+        def _():
+            do_tile()
+
+        @pl.when(step == n_pty * n_tx - 1)
+        def _():
+            gleaf_ref[:] = accv[:]
+            for j in range(7):
+                gcam_ref[j] = acc_cam[j]
+
+    def run(lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb):
+        px_spec = pl.BlockSpec(
+            (aa_pack, LANES), lambda ty, tx, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
+        )
+        th_spec = pl.BlockSpec(
+            (TS, LANES), lambda ty, tx, *_: (ty, tx),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_pty, n_tx),
+            in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
+            out_specs=[
+                pl.BlockSpec(
+                    (NLP, LANES), lambda ty, tx, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NLP, LANES), jnp.float32),
+                pltpu.SMEM((7,), jnp.float32),
+            ],
+        )
+        gleaf, gcam = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((NLP, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((7,), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(lp, jnp.float32),
+            jnp.asarray(cam_vec, jnp.float32),
+            clf,
+            ccf,
+            t_all,
+            hit_all,
+            gr,
+            gg,
+            gb,
+        )
+        d_lp = gleaf[: spec.n_leaves, : oc.LEAF_PARAM_WIDTH]
+        return d_lp, gcam
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_render_vjp(
     spec: TapeSpec,
@@ -112,12 +520,31 @@ def make_fused_render_vjp(
         bm = 8
         while bm * 2 <= min(budget, 64):
             bm *= 2
+    S_ = cfg.aa_samples * cfg.aa_samples
+    # O(active) backward eligibility: PURE hard-union compact plan (every
+    # leaf in the free pool — the min-fold transpose is winner-masked; see
+    # _make_compact_bwd), packed layout available, no materials. The
+    # compact kernels are O(1) in n_leaves, so the VMEM budget that forces
+    # bm down / aa_packed off for the legacy kernel does not apply.
+    from .pallas_march import build_compact_plan
+
+    _plan = build_compact_plan(spec) if cfg.leaf_cull else None
+    compact_bwd = (
+        _plan is not None
+        and _plan["seg1"] is None
+        and _plan["stream"] is None
+        and not _plan["residual_ops"]
+        and not spec.has_materials
+        and 128 % S_ == 0
+        and aa_packed is not False
+    )
+    if compact_bwd:
+        aa_packed = True
     # AA-packed layout (see ops.pallas_prepass): every (128/S)-pixel-row
     # strip's S samples share ONE invocation, amortizing raygen + the
     # in-kernel transpose graph's fixed structure across the samples. Needs
     # the full 128-sublane tile resident, so auto-enable only when the leaf
     # count keeps the vjp graph inside VMEM at that size.
-    S_ = cfg.aa_samples * cfg.aa_samples
     if aa_packed is None:
         aa_packed = (128 % S_ == 0) and budget >= 128
     if aa_packed and 128 % S_:
@@ -160,6 +587,16 @@ def make_fused_render_vjp(
         prepass_block=prepass_block, band_rows=band_rows,
         aa_packed=aa_packed,
     )
+    if compact_bwd and fwd_render.compact_info is None:
+        # The forward fell back (SMEM list-budget floor): no lists exist
+        # for the backward either — use the legacy unrolled kernel.
+        compact_bwd = False
+    if compact_bwd:
+        _info = fwd_render.compact_info
+        _compact_run = _make_compact_bwd(
+            spec, cfg, width, height, rows_out, _info["plan"],
+            _info["MHL"], _info["n_ftx"], interpret,
+        )
 
     def _scene_tile(rows_view, opp, px, py, pz, cull=None):
         def leaf_fn(row):
@@ -439,6 +876,18 @@ def make_fused_render_vjp(
         gg = gpad[:, :, 1]
         gb = gpad[:, :, 2]
 
+        if compact_bwd:
+            arrays = _arrays_from(lp, opp)
+            clf, ccf = fwd_render.fine_lists(arrays, cam_vec)
+            d_lp, gcam = _compact_run(
+                lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb
+            )
+            # Pure hard-union plans carry no op params (grads identically
+            # zero); the padding cam slot stays zero.
+            d_opp = jnp.zeros((spec.n_instr,), jnp.float32)
+            d_cam = jnp.concatenate([gcam, jnp.zeros(1, jnp.float32)])
+            return d_lp, d_opp, d_cam
+
         if aa_packed:
             px_spec = pl.BlockSpec(
                 (aa_pack, LANES), lambda ty, tx, *_: (ty, tx),
@@ -545,4 +994,6 @@ def make_fused_render_vjp(
             jnp.asarray(cam_vec, jnp.float32),
         )
 
+    # Introspection: did this build take the O(active) backward?
+    render.compact_bwd = compact_bwd
     return render

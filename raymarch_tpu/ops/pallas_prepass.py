@@ -1111,6 +1111,16 @@ def make_pallas_image_render_aa(
             )
         return mask_c, mask_f
 
+    def _fine_lists(arrays: TapeArrays, cam_vec):
+        """Per-tile compacted fine-grid lists (the backward kernel streams
+        these with the same MHL super-tile indexing as the fine kernel)."""
+        bounds = leaf_bound_spheres(spec, arrays, cfg)
+        mask_fl = tile_leaf_masks(
+            bounds, cam_vec, cfg, width, height, n_flty, n_ftx,
+            float(MHL), float(LANES),
+        )
+        return compact_plan_rows(spec, plan, mask_fl)
+
     def _scene_args(arrays: TapeArrays, cam_vec):
         mask_c, mask_f = _cull_masks(arrays, cam_vec)
         if compact:
@@ -1120,12 +1130,8 @@ def make_pallas_image_render_aa(
                 float(bm_coarse * bs * CLG), float(LANES * bs),
                 extra_angle=omega,
             )
-            mask_fl = tile_leaf_masks(
-                bounds, cam_vec, cfg, width, height, n_flty, n_ftx,
-                float(MHL), float(LANES),
-            )
             clc, ccc = compact_plan_rows(spec, plan, mask_cl)
-            clf, ccf = compact_plan_rows(spec, plan, mask_fl)
+            clf, ccf = _fine_lists(arrays, cam_vec)
         else:
             clc = clf = jnp.zeros((1, 1), jnp.int32)
             ccc = ccf = jnp.zeros((1, 1), jnp.int32)
@@ -1529,6 +1535,16 @@ def make_pallas_image_render_aa(
     # Final list super-tile geometry after SMEM-budget coarsening:
     # (coarse-grid rows per coarse list tile, fine list tile pixel rows).
     render.compact_geometry = (CLG, MHL) if compact else None
+    # Compact-plan plumbing for the O(active) backward (ops.pallas_grad):
+    # the plan, the fine-list super-tile geometry, and the per-frame list
+    # builder, so the backward kernel indexes the SAME lists the forward
+    # fine kernel used.
+    render.compact_info = (
+        dict(plan=plan, MHL=MHL, n_ftx=n_ftx, n_flty=n_flty)
+        if compact
+        else None
+    )
+    render.fine_lists = _fine_lists if compact else None
 
     # Exposed for instrumentation / custom pipelines. `pre` is the prepass
     # plane list: [t0, status] (legacy) or NI (start, end) pairs.

@@ -291,3 +291,94 @@ class TestFusedVjpVsAnalyticOracle:
         np.testing.assert_allclose(
             gc[:7], oracle_cam, rtol=3e-2, atol=1e-3 * cscale
         )
+
+
+class TestCompactBackward:
+    """O(active) backward for pure hard-union compact plans
+    (pallas_grad._make_compact_bwd): winner-masked min-fold transpose."""
+
+    def _grads(self, scene, cfg, W=64, H=32, cam=None):
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cam = cam or rm.Camera.looking_at(
+            position=(0.3, 1.8, 5.0), target=(0, 0, 0)
+        )
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        rv = make_fused_render_vjp(
+            spec, cfg, W, H, interpret=True, prepass_block=1
+        )
+        lp = jnp.asarray(arrays.leaf_params)
+        opp = jnp.asarray(arrays.op_param)
+
+        def loss(lp_, opp_, cv_):
+            a = dc.replace(arrays, leaf_params=lp_, op_param=opp_)
+            return jnp.sum(rv(a, cv_) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(lp, opp, cv)
+        return rv, tuple(np.asarray(x) for x in g)
+
+    def test_compact_bwd_matches_legacy_unrolled(self):
+        import dataclasses as dc
+
+        rng = np.random.default_rng(5)
+        parts = [
+            rm.sphere(
+                center=tuple(rng.uniform(-2, 2, 3) * [1, 0.5, 1]),
+                radius=float(rng.uniform(0.3, 0.6)),
+            )
+            for _ in range(6)
+        ]
+        scene = parts[0]
+        for p in parts[1:]:
+            scene = scene | p
+        cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2)
+        rv_c, (gl_c, _go_c, gc_c) = self._grads(
+            scene, dc.replace(cfg, leaf_cull=True)
+        )
+        rv_l, (gl_l, _go_l, gc_l) = self._grads(scene, cfg)
+        assert rv_c.compact_bwd and not rv_l.compact_bwd
+        scale = np.abs(gl_l).max()
+        np.testing.assert_allclose(gl_c, gl_l, rtol=2e-3, atol=2e-3 * scale)
+        cs = np.abs(gc_l).max()
+        np.testing.assert_allclose(
+            gc_c[:7], gc_l[:7], rtol=2e-3, atol=2e-3 * cs
+        )
+
+    def test_compact_bwd_rotated_mixed_types(self):
+        # Rotated + every-type unions: the per-row jax.vjp supplies exact
+        # partials for all leaf types, quaternions included.
+        import dataclasses as dc
+
+        scene = (
+            rm.sphere(center=(-1.0, 0.1, 0.0), radius=0.6)
+            | rm.box(
+                center=(0.9, 0.0, -0.1),
+                half_extents=(0.45, 0.35, 0.4),
+                rotation=(0.9238795, 0.0, 0.3826834, 0.0),
+            )
+            | rm.torus(
+                center=(0.0, 0.8, 0.1),
+                major_radius=0.55,
+                minor_radius=0.18,
+                rotation=(0.9689124, 0.2474040, 0.0, 0.0),
+            )
+            | rm.capsule(center=(1.6, 0.4, 0.6), radius=0.22, half_height=0.45)
+        )
+        cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2)
+        rv_c, (gl_c, _, gc_c) = self._grads(
+            scene, dc.replace(cfg, leaf_cull=True)
+        )
+        rv_l, (gl_l, _, gc_l) = self._grads(scene, cfg)
+        assert rv_c.compact_bwd
+        scale = np.abs(gl_l).max()
+        np.testing.assert_allclose(gl_c, gl_l, rtol=2e-3, atol=2e-3 * scale)
