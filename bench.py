@@ -522,6 +522,31 @@ def main():
             file=sys.stderr,
         )
 
+        # Soft-coverage fwd+bwd (silhouette gradients at fused speed):
+        # packed no-prepass forward with (s_min, t_min) residuals + the
+        # envelope term in the Pallas backward. bound_accel/relax off by
+        # the soft path's exactness requirements.
+        cfg_soft = _dc.replace(cfg0, exit_check_every=4, bound_accel=True)
+        rv_soft = make_fused_render_vjp(
+            spec_s, cfg_soft, WIDTH, HEIGHT, soft=True
+        )
+
+        def loss_soft(lp, opp, c):
+            a = dataclasses.replace(arrays_s, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv_soft(a, c) ** 2)
+
+        grad_soft = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_soft, argnums=(0, 1, 2))(
+                lp, opp, c
+            )
+        )
+        dt_soft, _ = timeit(grad_soft, lp, opp, cam_vec, warmup=2)
+        print(
+            f"soft-coverage fwd+bwd (fused Pallas vjp + envelope): "
+            f"{dt_soft*1e3:.1f} ms, {n_rays/dt_soft/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+
         # 64-primitive fwd+bwd through the O(active) compact backward
         # (winner-masked min-fold transpose; pallas_grad._make_compact_bwd).
         rv64 = make_fused_render_vjp(spec64, cfg64, WIDTH, HEIGHT)

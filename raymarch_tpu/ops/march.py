@@ -463,11 +463,16 @@ def make_renderer(
         # Fully fused fwd+bwd: cone-prepass forward + the Pallas backward
         # kernel (ops.pallas_grad). Differentiable w.r.t. arrays.leaf_params,
         # arrays.op_param, and the camera pytree. Static tapes only.
-        if mode != "implicit":
-            raise ValueError("pallas_fused backend is implicit-mode only")
+        # mode "soft" runs the soft-coverage variant (silhouette gradients
+        # via the envelope term; shade_soft semantics).
+        if mode not in ("implicit", "soft"):
+            raise ValueError("pallas_fused backend supports 'implicit'/'soft'")
         from .pallas_grad import make_fused_render_vjp
 
-        rv = make_fused_render_vjp(spec, cfg, width, height, interpret=interpret)
+        rv = make_fused_render_vjp(
+            spec, cfg, width, height, interpret=interpret,
+            soft=(mode == "soft"),
+        )
 
         def render_fused(arrays: TapeArrays, camera):
             cam_vec = jnp.concatenate(

@@ -501,6 +501,7 @@ def make_fused_render_vjp(
     prepass_block: int = 1,
     band_rows: int | None = None,
     aa_packed: bool | None = None,
+    soft: bool = False,
 ):
     """Build `render(arrays, cam_vec f32[8]) -> image[band_rows or H, W, 3]`,
     differentiable w.r.t. `arrays.leaf_params`, `arrays.op_param`, and
@@ -512,6 +513,13 @@ def make_fused_render_vjp(
         raise NotImplementedError(
             "fused-VJP rendering requires compile_scene(static=True)"
         )
+    if soft:
+        # Soft-coverage fwd+bwd (silhouette gradients): packed no-prepass
+        # forward with (s_min, t_min) residuals + the envelope (Danskin)
+        # term in the backward. See ops.pallas_prepass soft mode.
+        if (cfg.aa_samples**2) and 128 % (cfg.aa_samples**2):
+            raise ValueError("soft VJP needs aa_samples^2 dividing 128")
+        aa_packed = True
     # The backward kernel holds the whole vjp graph in VMEM — residency
     # scales with the unrolled leaf count (the 64-leaf scene needs 38MB at
     # bm=64). Calibrated: bm * n_leaves * 4 rows of f32[128] lanes ~ 16MB.
@@ -537,6 +545,7 @@ def make_fused_render_vjp(
         and not spec.has_materials
         and 128 % S_ == 0
         and aa_packed is not False
+        and not soft
     )
     if compact_bwd:
         aa_packed = True
@@ -585,7 +594,7 @@ def make_fused_render_vjp(
         spec, cfg, width, height, interpret=interpret,
         bm_coarse=64 if not interpret else 8, bm_fine=bm,
         prepass_block=prepass_block, band_rows=band_rows,
-        aa_packed=aa_packed,
+        aa_packed=aa_packed, no_prepass=soft, soft=soft,
     )
     if compact_bwd and fwd_render.compact_info is None:
         # The forward fell back (SMEM list-budget floor): no lists exist
@@ -653,8 +662,12 @@ def make_fused_render_vjp(
 
     def bwd_kernel(
         ops_ref, arg_ref, slot_ref, opp_ref, lp_ref, cam_ref, cull_ref,
-        tm_ref, hm_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc,
+        tm_ref, hm_ref, *rest,
     ):
+        if soft:
+            sm_ref, tmn_ref, gr_ref, gg_ref, gb_ref, gout_ref, acc = rest
+        else:
+            gr_ref, gg_ref, gb_ref, gout_ref, acc = rest
         # 2D image-block layout, mirroring the forward fine kernel (see
         # ops.pallas_prepass fine_kernel two_d): each invocation replays one
         # (bm x LANES)-pixel RECTANGLE for one AA sample. Localized
@@ -725,6 +738,14 @@ def make_fused_render_vjp(
         # Forward-march residuals (bitwise the fwd kernel's values).
         t = tm_ref[:]
         hit = hm_ref[:]
+        if soft:
+            s_min = sm_ref[:]
+            t_min = tmn_ref[:]  # frozen (zero-cotangent in the jnp soft
+            # VJP too: make_march_soft's bwd drops the t_min cotangent)
+            beta_inv = 1.0 / cfg.coverage_beta
+            alpha_p = jnp.exp(
+                -jnp.maximum(s_min - cfg.min_dist, 0.0) * beta_inv
+            )
 
         if aa_packed:
             # Per-pixel g blocks (aa_pack, LANES) -> per-ray strips, each
@@ -742,7 +763,71 @@ def make_fused_render_vjp(
             gg = gg_ref[:] * inv_s
             gb = gb_ref[:] * inv_s
 
-        # --- explicit shading path: dL/d(scal, t) --------------------------
+        # --- explicit shading path: dL/d(scal, t[, s_min]) -----------------
+        def shade_loss_soft(sc, tt, sm):
+            rows, opp, cam = views(sc)
+            o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
+            alpha = jnp.exp(
+                -jnp.maximum(sm - cfg.min_dist, 0.0) * (1.0 / cfg.coverage_beta)
+            )
+            t_eff = jnp.where(hit > 0.5, tt, t_min)
+            live = alpha > 1e-4
+            px = jnp.where(live, o1x + d1x * t_eff, o1x)
+            py = jnp.where(live, o1y + d1y * t_eff, o1y)
+            pz = jnp.where(live, o1z + d1z * t_eff, o1z)
+
+            def scene(qx, qy, qz):
+                return _scene_tile(rows, opp, qx, qy, qz, cull=cull)
+
+            nx = d1x * 0.0
+            ny = nx
+            nz = nx
+            for kx, ky, kz in (
+                (1.0, -1.0, -1.0),
+                (-1.0, -1.0, 1.0),
+                (-1.0, 1.0, -1.0),
+                (1.0, 1.0, 1.0),
+            ):
+                dval = scene(px + kx * eps, py + ky * eps, pz + kz * eps)
+                nx = nx + kx * dval
+                ny = ny + ky * dval
+                nz = nz + kz * dval
+            ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+            tlx = px - lx_
+            tly = py - ly_
+            tlz = pz - lz_
+            linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
+            diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+            diff = jnp.maximum(diff, cfg.ambient)
+            mar, mag, mab = _albedo_tile(rows, opp, px, py, pz, cull=cull)
+
+            dy_abs_ok = jnp.where(jnp.abs(d1y) > 1e-8, 1.0, 0.0)
+            dy_safe = jnp.where(jnp.abs(d1y) > 1e-8, d1y, 1e-8)
+            ft = (cfg.floor_y - o1y) / dy_safe
+            fx = jnp.clip(o1x + d1x * ft, -1e7, 1e7)
+            fz = jnp.clip(o1z + d1z * ft, -1e7, 1e7)
+            ipx = jnp.round(fx + 0.5).astype(jnp.int32)
+            ipz = jnp.round(fz + 0.5).astype(jnp.int32)
+            parity = (jnp.bitwise_and(jnp.bitwise_xor(ipx, ipz), 1)).astype(
+                jnp.float32
+            )
+            on_floor = jnp.where(ft > 0.0, dy_abs_ok, 0.0)
+            fcr = (fb_r + cfg.floor_checker * parity) * on_floor
+            fcg = (fb_g + cfg.floor_checker * parity) * on_floor
+            fcb = (fb_b + cfg.floor_checker * parity) * on_floor
+
+            miss = 1.0 - alpha
+            cr = jnp.sqrt(
+                jnp.maximum(alpha * (mar * diff) + miss * fcr, 0.0) + 1e-12
+            )
+            cg = jnp.sqrt(
+                jnp.maximum(alpha * (mag * diff) + miss * fcg, 0.0) + 1e-12
+            )
+            cb = jnp.sqrt(
+                jnp.maximum(alpha * (mab * diff) + miss * fcb, 0.0) + 1e-12
+            )
+            return jnp.sum(cr * gr + cg * gg + cb * gb)
+
         def shade_loss(sc, tt):
             rows, opp, cam = views(sc)
             o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
@@ -797,7 +882,13 @@ def make_fused_render_vjp(
             return jnp.sum(cr * gr + cg * gg + cb * gb)
 
         def grads_full():
-            gscal1, gt = jax.grad(shade_loss, argnums=(0, 1))(scal, t)
+            if soft:
+                gscal1, gt, gs = jax.grad(
+                    shade_loss_soft, argnums=(0, 1, 2)
+                )(scal, t, s_min)
+            else:
+                gscal1, gt = jax.grad(shade_loss, argnums=(0, 1))(scal, t)
+                gs = None
 
             # --- implicit term: dL/dt through the hit constraint -----------
             _, fdot = jax.jvp(
@@ -817,7 +908,21 @@ def make_fused_render_vjp(
                 qx = o1x + d1x * t * hit
                 qy = o1y + d1y * t * hit
                 qz = o1z + d1z * t * hit
-                return jnp.sum(w * _scene_tile(rows, opp, qx, qy, qz, cull=cull))
+                total = jnp.sum(
+                    w * _scene_tile(rows, opp, qx, qy, qz, cull=cull)
+                )
+                if soft:
+                    # Envelope (Danskin) term: d s_min/dtheta =
+                    # F_theta(x(t_min)) at the FROZEN argmin — mirrors
+                    # ops.march.make_march_soft's bwd exactly (incl. the
+                    # camera chain through o + d*t_min).
+                    ex = o1x + d1x * t_min
+                    ey = o1y + d1y * t_min
+                    ez = o1z + d1z * t_min
+                    total = total + jnp.sum(
+                        gs * _scene_tile(rows, opp, ex, ey, ez, cull=cull)
+                    )
+                return total
 
             gscal2 = jax.grad(implicit_loss)(scal)
             flat1 = jax.tree_util.tree_leaves(gscal1)
@@ -855,7 +960,17 @@ def make_fused_render_vjp(
 
             return jax.tree_util.tree_leaves(jax.grad(floor_loss)(scal))
 
-        flat = jax.lax.cond(jnp.max(hit) > 0.0, grads_full, grads_floor_only)
+        # Soft gate at the shading LIVE threshold (alpha > 1e-4, the
+        # same cut shade_soft applies to positions): tiles below it carry
+        # only sub-1e-4-scale coverage gradients — under the f32 gradient
+        # noise floor — and would otherwise fire on the entire subnormal
+        # halo of the scene.
+        any_work = (
+            jnp.logical_or(jnp.max(hit) > 0.0, jnp.max(alpha_p) > 1e-4)
+            if soft
+            else jnp.max(hit) > 0.0
+        )
+        flat = jax.lax.cond(any_work, grads_full, grads_floor_only)
 
         # --- accumulate flat ------------------------------------------------
         for k, g in enumerate(flat):
@@ -868,7 +983,8 @@ def make_fused_render_vjp(
             for k in range(NSCAL):
                 gout_ref[k] = acc[k]
 
-    def _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img):
+    def _run_bwd(lp, opp, cam_vec, residuals, g_img):
+        t_all, hit_all, *soft_res = residuals
         g = jnp.asarray(g_img, jnp.float32).reshape(rows_out, width, 3)
         Hg = Hp_pack if aa_packed else Hp
         gpad = jnp.pad(g, ((0, Hg - rows_out), (0, Wp - width), (0, 0)))
@@ -912,10 +1028,11 @@ def make_fused_render_vjp(
         # mask operand slot so re-enabling is a two-line change.
         mask = jnp.zeros((1, 1), jnp.int32)
 
+        n_res = 4 if soft else 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=grid,
-            in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
+            in_specs=[th_spec] * n_res + [px_spec, px_spec, px_spec],
             out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[pltpu.SMEM((NSCAL,), jnp.float32)],
         )
@@ -934,6 +1051,7 @@ def make_fused_render_vjp(
             mask,
             t_all,
             hit_all,
+            *soft_res,
             gr,
             gg,
             gb,
@@ -972,18 +1090,18 @@ def make_fused_render_vjp(
     @jax.custom_vjp
     def render_lpc(lp, opp, cam_vec):
         arrays = _arrays_from(lp, opp)
-        pre = fwd_render.coarse(arrays, cam_vec)
+        pre = [] if soft else fwd_render.coarse(arrays, cam_vec)
         return fwd_render.fine(arrays, cam_vec, pre)
 
     def render_fwd(lp, opp, cam_vec):
         arrays = _arrays_from(lp, opp)
-        pre = fwd_render.coarse(arrays, cam_vec)
-        img, t_all, hit_all = fwd_render.fine_res(arrays, cam_vec, pre)
-        return img, (lp, opp, cam_vec, t_all, hit_all)
+        pre = [] if soft else fwd_render.coarse(arrays, cam_vec)
+        img, *residuals = fwd_render.fine_res(arrays, cam_vec, pre)
+        return img, (lp, opp, cam_vec, tuple(residuals))
 
     def render_bwd(res, g_img):
-        lp, opp, cam_vec, t_all, hit_all = res
-        return _run_bwd(lp, opp, cam_vec, t_all, hit_all, g_img)
+        lp, opp, cam_vec, residuals = res
+        return _run_bwd(lp, opp, cam_vec, residuals, g_img)
 
     render_lpc.defvjp(render_fwd, render_bwd)
 

@@ -376,6 +376,84 @@ def _fine_march_interval_tile(
     return t, hit
 
 
+def _fine_march_tile_soft(scene, ox, oy, oz, dx, dy, dz, live0, cfg,
+                          bound=None):
+    """Sphere tracing from t=0 with closest-approach carries: returns
+    (t, hit, s_min, t_min). Mirrors ops.march._march_while_soft exactly
+    (the jnp soft path): s_min = min over the march of the scene distance
+    at live samples, t_min its parameter. Plain stepping only (relax/
+    prepass would change the sample sequence and with it the argmin).
+
+    `bound` = (bcx, bcy, bcz, R_soft, valid) with R_soft INFLATED by
+    min_dist + 104*coverage_beta. With that inflation the acceleration is
+    EXACT, not approximate:
+    - a ray missing R_soft has true closest approach >= the inflation, so
+      exp(-(s_min - min_dist)/beta) underflows to exactly 0.0 in f32 for
+      BOTH paths (alpha = 0, no hit, t unused at alpha 0) — skipping the
+      march changes nothing;
+    - a ray entering R_soft marches from t=0 with the IDENTICAL sample
+      sequence as the un-bounded path until t_cap = t_exit + R_soft
+      (+ min_dist margin). The cap lies past the projection parameter of
+      every scene point (any q in the bound projects at t_q <= t_center +
+      R_soft <= t_exit + R_soft), so along the un-bounded path's remaining
+      samples the distance to every scene point — hence the scene SDF — is
+      increasing: those samples can neither improve s_min nor hit.
+    """
+    zero = dx * 0.0
+    t_cap = zero + _INF
+    if bound is not None:
+        bcx, bcy, bcz, br, bvalid = bound
+        ocx = ox - bcx
+        ocy = oy - bcy
+        ocz = oz - bcz
+        bq = dx * ocx + dy * ocy + dz * ocz
+        c2 = ocx * ocx + ocy * ocy + ocz * ocz - br * br
+        disc = bq * bq - c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -bq + sq
+        hit_bound = jnp.where(
+            jnp.logical_and(disc > 0.0, t_exit > 0.0), live0, 0.0
+        )
+        use = bvalid > 0.0
+        live0 = jnp.where(use, hit_bound, live0)
+        t_cap = jnp.where(use, t_exit + br + cfg.min_dist, t_cap)
+
+    def cond(state):
+        k, _, live, _, _, _ = state
+        return jnp.logical_and(k < cfg.max_iter, jnp.max(live) > 0.0)
+
+    K = max(1, int(cfg.exit_check_every))
+
+    def step(state):
+        k, t, live, hit, s_min, t_min = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        d = scene(px, py, pz)
+        act = live if K == 1 else jnp.where(k < cfg.max_iter, live, live * 0.0)
+        better = jnp.where(jnp.logical_and(act > 0.0, d < s_min), 1.0, 0.0)
+        s_min2 = jnp.where(better > 0.0, d, s_min)
+        t_min2 = jnp.where(better > 0.0, t, t_min)
+        hit_now = jnp.where(d < cfg.min_dist, act, 0.0)
+        escaped = jnp.where(
+            jnp.logical_or(d > cfg.max_dist, t > t_cap), act, 0.0
+        )
+        escaped = escaped - escaped * hit_now
+        advance = act - hit_now - escaped
+        t2 = t + d * advance
+        return (k + 1, t2, live - hit_now - escaped, hit + hit_now, s_min2, t_min2)
+
+    if K == 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, K, lambda _, s: step(s), state)
+
+    state = (jnp.int32(0), zero, live0, zero, zero + _INF, zero)
+    _, t, _, hit, s_min, t_min = jax.lax.while_loop(cond, body, state)
+    return t, hit, s_min, t_min
+
+
 def _fine_march_tile(scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg):
     """Sphere tracing from per-ray start t0 (reference march semantics,
     wgsl:87-115) -> (t, hit). Dead lanes (live0=0) never evaluate.
@@ -475,6 +553,7 @@ def make_pallas_image_render_aa(
     n_intervals: int = 0,
     no_prepass: bool = False,
     aa_packed: bool = False,
+    soft: bool = False,
     _dbg_skip_taps: bool = False,
     _dbg_skip_march: bool = False,
 ):
@@ -528,6 +607,18 @@ def make_pallas_image_render_aa(
         raise ValueError("prepass_chain is a legacy-prepass feature")
     if no_prepass and (NI or prepass_chain):
         raise ValueError("no_prepass excludes interval/chained prepasses")
+    if soft:
+        # Soft-coverage rendering (silhouette gradients, ops.march
+        # shade_soft semantics): the closest approach s_min can occur
+        # anywhere along the ray, so the full march must run (a prepass
+        # would skip the approach region, a bound clip would cut it, and
+        # relaxed stepping would change the argmin sample) — exact mirror
+        # of the jnp soft path requires the plain no-prepass packed layout.
+        if not (no_prepass and aa_packed):
+            raise ValueError("soft requires no_prepass=True, aa_packed=True")
+        if cfg.relax > 1.0:
+            raise ValueError("soft requires relax=1.0 (relaxed stepping"
+                             " changes the closest-approach sample)")
     # Prepass output planes: legacy (t0, status), NI (start, end) pairs, or
     # none at all (`no_prepass`: every AA ray marches from t=0 — the strict
     # reference semantics of wgsl:87-115, kept on the 2D-tiled fine kernel
@@ -1311,7 +1402,11 @@ def make_pallas_image_render_aa(
         if emit_th:
             # Residual planes for the fused VJP: per-ray (t, hit) in the
             # SAME packed strip layout, block (TS, LANES) at (ty, tx).
-            tm_ref, hm_ref, *scratch = scratch
+            # Soft mode adds (s_min, t_min) for the envelope term.
+            if soft:
+                tm_ref, hm_ref, sm_ref, tmn_ref, *scratch = scratch
+            else:
+                tm_ref, hm_ref, *scratch = scratch
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
@@ -1436,12 +1531,79 @@ def make_pallas_image_render_aa(
             z = dx * 0.0
             return z, z, z, z + ax_, z + ay_, z + az_
 
-        _t, hit, diff, mar, mag, mab = jax.lax.cond(
-            any_near, do_surface, no_surface
-        )
-        if emit_th:
-            tm_ref[:] = _t
-            hm_ref[:] = hit
+        if soft:
+            # Soft coverage (ops.march.shade_soft semantics): the binary
+            # hit mask becomes alpha = exp(-max(s_min - min_dist, 0)/beta)
+            # and miss rays shade the surface term at their closest-
+            # approach point; the common floor/mix tail below then blends
+            # by alpha instead of hit — identical structure.
+            if cfg.bound_accel:
+                soft_infl = cfg.min_dist + 104.0 * cfg.coverage_beta
+                bnd_soft = (
+                    bnd_ref[0], bnd_ref[1], bnd_ref[2],
+                    bnd_ref[3] + soft_infl, bnd_ref[4],
+                )
+            else:
+                bnd_soft = None
+            t_raw, hit_raw, s_min, t_min = _fine_march_tile_soft(
+                scene, ox, oy, oz, dx, dy, dz, valid_px, cfg, bound=bnd_soft
+            )
+            if emit_th:
+                tm_ref[:] = t_raw
+                hm_ref[:] = hit_raw
+                sm_ref[:] = s_min
+                tmn_ref[:] = t_min
+            alpha = jnp.exp(
+                -jnp.maximum(s_min - cfg.min_dist, 0.0)
+                * (1.0 / cfg.coverage_beta)
+            )
+            t_eff = jnp.where(hit_raw > 0.5, t_raw, t_min)
+            live_s = alpha > 1e-4
+            px = jnp.where(live_s, ox + dx * t_eff, ox)
+            py_ = jnp.where(live_s, oy + dy * t_eff, oy)
+            pz = jnp.where(live_s, oz + dz * t_eff, oz)
+
+            def shade_surf():
+                nx, ny, nz = _tet_taps(
+                    scene, px, py_, pz, eps,
+                    spec.n_leaves >= TAP_LOOP_MIN_LEAVES,
+                )
+                ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+                tlx = px - lx_
+                tly = py_ - ly_
+                tlz = pz - lz_
+                linv = jax.lax.rsqrt(tlx * tlx + tly * tly + tlz * tlz + 1e-20)
+                diff = (nx * tlx + ny * tly + nz * tlz) * (ninv * linv)
+                diff = jnp.maximum(diff, cfg.ambient)
+                if color_eval is not None:
+                    _, mar, mag, mab = color_eval(
+                        lp_ref, ops_ref, arg_ref, slot_ref, opp_ref,
+                        px, py_, pz, cull=cull,
+                    )
+                    mar = dx * 0.0 + mar
+                    mag = dx * 0.0 + mag
+                    mab = dx * 0.0 + mab
+                else:
+                    mar = dx * 0.0 + ax_
+                    mag = dx * 0.0 + ay_
+                    mab = dx * 0.0 + az_
+                return diff, mar, mag, mab
+
+            def shade_none():
+                z = dx * 0.0
+                return z, z + ax_, z + ay_, z + az_
+
+            diff, mar, mag, mab = jax.lax.cond(
+                jnp.max(alpha) > 1e-4, shade_surf, shade_none
+            )
+            _t, hit = t_eff, alpha
+        else:
+            _t, hit, diff, mar, mag, mab = jax.lax.cond(
+                any_near, do_surface, no_surface
+            )
+            if emit_th:
+                tm_ref[:] = _t
+                hm_ref[:] = hit
 
         dy_abs_ok = jnp.where(jnp.abs(dy) > 1e-8, 1.0, 0.0)
         dy_safe = jnp.where(jnp.abs(dy) > 1e-8, dy, 1e-8)
@@ -1497,10 +1659,11 @@ def make_pallas_image_render_aa(
                 lambda ty, tx, *_: (ty, tx),
                 memory_space=pltpu.VMEM,
             )
-            out_specs += [th_blk, th_blk]
+            n_res = 4 if soft else 2  # + (s_min, t_min) in soft mode
+            out_specs += [th_blk] * n_res
             out_shape += [
                 jax.ShapeDtypeStruct((n_pty * TS, Wp), jnp.float32)
-                for _ in range(2)
+                for _ in range(n_res)
             ]
             kernel = functools.partial(fine_packed_kernel, emit_th=True)
         fine_spec = pltpu.PrefetchScalarGridSpec(
@@ -1518,7 +1681,7 @@ def make_pallas_image_render_aa(
         )(*scene_args, *(to2d_packed(v) for v in pre))
         img = jnp.stack([v[:rows_out, :width] for v in (r, g, b)], axis=-1)
         if emit_th:
-            return img, th[0], th[1]
+            return (img, *th)
         return img
 
     def render(arrays: TapeArrays, cam_vec):

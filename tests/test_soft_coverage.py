@@ -112,3 +112,133 @@ class TestSilhouetteFit:
         x = float(np.asarray(res.arrays.leaf_params)[0, 4])
         assert abs(x - 0.25) < 0.04, f"recovered x={x}"
         assert res.losses[-1] < res.losses[0] * 0.1
+
+
+class TestFusedSoftKernel:
+    """Pallas soft-coverage path (ops.pallas_prepass soft mode + the
+    envelope term in ops.pallas_grad): must mirror the jnp soft path."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        scene = rm.sphere(center=(0.0, 0.2, 0.0), radius=0.8) | rm.box(
+            center=(1.2, 0.0, -0.3), half_extents=(0.4, 0.4, 0.4)
+        )
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cam = rm.Camera.looking_at(position=(0.3, 2.9, 4.2), target=(0, 0, 0))
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        cfg = dataclasses.replace(rm.DEFAULT_CONFIG, aa_samples=2, max_iter=64)
+        return spec, arrays, cam, cv, cfg
+
+    def test_soft_kernel_forward_matches_jnp_soft(self):
+        import jax
+
+        from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+        spec, arrays, cam, cv, cfg = self._setup()
+        r = make_pallas_image_render_aa(
+            spec, cfg, 64, 32, interpret=True, no_prepass=True,
+            aa_packed=True, soft=True,
+        )
+        img_k = np.asarray(r(arrays, cv))
+        img_j = np.asarray(
+            jax.jit(rm.make_renderer(spec, 64, 32, cfg, mode="soft"))(
+                arrays, cam
+            )
+        )
+        # camera tilted below the floor-horizon (checker parity at the
+        # horizon is ulp-sensitive between compiled artifacts)
+        np.testing.assert_allclose(img_k, img_j, atol=5e-4)
+
+    def test_soft_fused_vjp_matches_jnp_soft_grads(self):
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        spec, arrays, cam, cv, cfg = self._setup()
+        W2, H2 = 64, 32
+        rv = make_fused_render_vjp(spec, cfg, W2, H2, interpret=True, soft=True)
+        lp = jnp.asarray(arrays.leaf_params)
+        opp = jnp.asarray(arrays.op_param)
+
+        def loss_k(lp_, opp_, cv_):
+            a = dataclasses.replace(arrays, leaf_params=lp_, op_param=opp_)
+            return jnp.sum(rv(a, cv_) ** 2)
+
+        glk, _gok, gck = jax.grad(loss_k, argnums=(0, 1, 2))(lp, opp, cv)
+
+        render_j = rm.make_renderer(spec, W2, H2, cfg, mode="soft")
+
+        def loss_j(lp_, camera):
+            img = render_j(dataclasses.replace(arrays, leaf_params=lp_), camera)
+            return jnp.sum(img ** 2)
+
+        glj, gcj = jax.jit(jax.grad(loss_j, argnums=(0, 1)))(lp, cam)
+        glk, glj = np.asarray(glk), np.asarray(glj)
+        scale = np.abs(glj).max()
+        np.testing.assert_allclose(glk, glj, rtol=5e-3, atol=2e-3 * scale)
+        gc = np.asarray(gck)
+        np.testing.assert_allclose(
+            gc[:3], np.asarray(gcj.position), rtol=5e-3, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            gc[3:7], np.asarray(gcj.rotation), rtol=5e-3, atol=1e-2
+        )
+
+    def test_soft_fused_sees_pure_translation(self):
+        # The provably silhouette-only problem (module docstring) through
+        # the FUSED soft path: a pure translation must have nonzero,
+        # correctly-signed gradient.
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        cfg = dataclasses.replace(CFG, coverage_beta=0.05)
+        scene_t = rm.sphere(center=(0.0, 0.2, 0.0), radius=0.8)
+        spec, arrays_t = rm.compile_scene(scene_t, static=True)
+        rv = make_fused_render_vjp(spec, cfg, W, H, interpret=True, soft=True)
+        cv = jnp.asarray(
+            np.concatenate([CAM.position, CAM.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        target = rv(arrays_t, cv)
+        scene_0 = rm.sphere(center=(0.15, 0.2, 0.0), radius=0.8)
+        _, arrays_0 = rm.compile_scene(scene_0, static=True)
+        lp0 = jnp.asarray(arrays_0.leaf_params)
+        opp0 = jnp.asarray(arrays_0.op_param)
+
+        def loss(lp_):
+            a = dataclasses.replace(arrays_0, leaf_params=lp_, op_param=opp0)
+            return jnp.mean((rv(a, cv) - target) ** 2)
+
+        g = np.asarray(jax.grad(loss)(lp0))
+        gx = g[0, 4]  # d loss / d center_x
+        assert gx > 1e-7, gx  # loss decreases moving -x (toward target)
+
+    def test_soft_bound_accel_is_exact(self):
+        # The inflated-bound soft acceleration must be EXACT: rays missing
+        # the inflated bound have alpha exactly 0 in both paths, and the
+        # cap lies past every scene point's projection (see
+        # _fine_march_tile_soft's docstring).
+        from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+        spec, arrays, cam, cv, cfg = self._setup()
+        r_off = make_pallas_image_render_aa(
+            spec, cfg, 64, 32, interpret=True, no_prepass=True,
+            aa_packed=True, soft=True,
+        )
+        cfg_b = dataclasses.replace(cfg, bound_accel=True)
+        r_on = make_pallas_image_render_aa(
+            spec, cfg_b, 64, 32, interpret=True, no_prepass=True,
+            aa_packed=True, soft=True,
+        )
+        a = np.asarray(r_off(arrays, cv))
+        b = np.asarray(r_on(arrays, cv))
+        np.testing.assert_array_equal(a, b)
