@@ -699,29 +699,58 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
                 ],
             )
 
+        # EARLY EXIT at the padding tail: bucketed macro streams pad with
+        # all-zero entries (no pushes, COP_NOP — a real macro always has a
+        # push bit or cop >= 2), and padding is CONTIGUOUS at the end. The
+        # entries nest: entry k's guard `packed != 0` either stops (one
+        # scalar branch pays for the WHOLE tail) or runs entry k and the
+        # nested remainder. Executed per-query cost is therefore
+        # O(real entries), not O(bucket) — at the default bucket slack
+        # (up to 2x) this halves the dynamic interpreter's dispatch bill.
+        # Program size still covers the full bucket: edits never recompile.
         if spec.macro_slot0:
-            acc = far
-            for k in range(spec.n_macro):
+            # Accumulator interpreter (depth<=2 tapes, the common
+            # interactive case). Scalar-core branch constructs stall the
+            # vector pipeline per entry, so each operand's push-cond FUSES
+            # into its leaf switch: one lax.switch whose extra final branch
+            # returns the accumulator (resp. far) when the push flag is
+            # clear — 3 constructs per entry (a-switch, b-switch, combine)
+            # instead of 5. (Two fully-vectorized alternatives — upfront
+            # all-leaf tiles + vselect operand/combine selection — were
+            # measured SLOWER: padding bank rows make the eager leaf evals
+            # O(bucket) per query, and the all-candidate combine wastes
+            # ~25 vector ops/entry. The lazy switch evaluates only the
+            # leaf it uses.)
+            n_fns = len(leaf_fns)
+
+            def entry_slot0(k, acc):
                 packed = ops_ref[k]
                 marg = arg_ref[k]
                 kp = opp_ref[slot_ref[k] >> 8]
-                a = jax.lax.cond(
-                    (packed & 1) > 0,
-                    lambda marg=marg: leaf_switch(marg >> 10),
-                    lambda acc=acc: acc,
+                a_idx = jnp.where((packed & 1) > 0, marg >> 10, n_fns)
+                a = jax.lax.switch(
+                    a_idx, leaf_fns + [lambda acc=acc: acc]
                 )
                 # b is only consumed by binary combines, which always carry
                 # pushB in slot0 tapes (see macroize_streams).
-                b = jax.lax.cond(
-                    (packed & 2) > 0,
-                    lambda marg=marg: leaf_switch(marg & 1023),
-                    lambda: far,
-                )
-                acc = combine(packed >> 2, a, b, kp)
-            return acc
+                b_idx = jnp.where((packed & 2) > 0, marg & 1023, n_fns)
+                b = jax.lax.switch(b_idx, leaf_fns + [lambda: far])
+                return combine(packed >> 2, a, b, kp)
 
-        stack = [far for _ in range(sd + 1)]
-        for k in range(spec.n_macro):
+            def run_from_slot0(k, acc):
+                if k == spec.n_macro:
+                    return acc
+                return jax.lax.cond(
+                    ops_ref[k] == 0,
+                    lambda acc=acc: acc,
+                    lambda k=k, acc=acc: run_from_slot0(
+                        k + 1, entry_slot0(k, acc)
+                    ),
+                )
+
+            return run_from_slot0(0, far)
+
+        def entry_gen(k, stack):
             packed = ops_ref[k]
             marg = arg_ref[k]
             slotk = slot_ref[k]
@@ -744,9 +773,23 @@ def _make_scene_eval(spec: TapeSpec, cfg: RenderConfig, leaf_rows, bm: int = BM)
                 lambda b0=b0: b0,
             )
             val = combine(packed >> 2, a, b, kp)
-            for i in range(sd):
-                stack[i] = jnp.where(slot == i, val, stack[i])
-        return stack[0]
+            return tuple(
+                jnp.where(slot == i, val, stack[i]) for i in range(sd)
+            ) + (stack[sd],)
+
+        def run_from_gen(k, stack):
+            if k == spec.n_macro:
+                return stack
+            return jax.lax.cond(
+                ops_ref[k] == 0,
+                lambda stack=stack: stack,
+                lambda k=k, stack=stack: run_from_gen(
+                    k + 1, entry_gen(k, stack)
+                ),
+            )
+
+        stack0 = tuple(far for _ in range(sd + 1))
+        return run_from_gen(0, stack0)[0]
 
     return scene_eval
 
