@@ -272,7 +272,7 @@ class ViewerApp:
 
     def state(self) -> Dict[str, Any]:
         c = self.camera
-        return {
+        out = {
             "pitch": c.pitch,
             "yaw": c.yaw,
             "radius": c.radius,
@@ -283,6 +283,12 @@ class ViewerApp:
             "compiles": self.compiles,
             "tier": self._tiered.tier if self._tiered is not None else "single",
         }
+        if self._tiered is not None:
+            # Tier telemetry for the status bar (runtime.TieredRenderer):
+            # which tier served recent frames, cached static programs,
+            # in-flight background compiles.
+            out["tiered"] = self._tiered.stats()
+        return out
 
 
 _HTML = """<!doctype html>
@@ -335,6 +341,7 @@ _HTML = """<!doctype html>
  </div>
  <div id="editor"><svg id="wires"></svg></div>
  <div id="status">viewport &mdash; drag: orbit &middot; right-drag: pan &middot; wheel: dolly</div>
+ <div id="telemetry" style="color:#5d88b3; min-height:1.2em;"></div>
 </div>
 <div id="right"><img id="view" draggable="false"></div>
 <script>
@@ -360,6 +367,23 @@ async function tick() {
   }
   requestAnimationFrame(tick);
 }
+
+// ---- tier/status telemetry -------------------------------------------------
+const telemetry = document.getElementById('telemetry');
+async function pollState() {
+  try {
+    const s = await (await fetch('/state')).json();
+    let line = `backend ${s.backend} · tier ${s.tier} · frames ${s.frames}` +
+               ` · compiles ${s.compiles}`;
+    if (s.tiered) {
+      line += ` · static cached ${s.tiered.static_cached}` +
+              ` · pending ${s.tiered.pending_compiles}` +
+              ` · dyn frames ${s.tiered.dynamic_frames}`;
+    }
+    telemetry.textContent = line;
+  } catch (e) { /* transient */ }
+}
+setInterval(pollState, 1000); pollState();
 
 // ---- camera input (reference src/main.rs:58-69 routing) --------------------
 function send(ev) { fetch('/event', {method:'POST', body:JSON.stringify(ev)}); }
