@@ -736,7 +736,20 @@ def make_pallas_image_render_aa(
     # until both lists fit a fixed SMEM budget. Finer fine-lists matter
     # more (the fine kernel dominates), so the coarse list usually coarsens
     # first.
-    _LIST_SMEM_BUDGET = 96 * 1024
+    # Chip-calibrated, regime-gated: at 1080p-class grids scoped SMEM
+    # totals ~2x(list bytes) + ~0.21 MB against the 1 MB capacity, so a
+    # 330 KB list budget fits with margin — the round-3 96 KB budget was
+    # far too conservative there (it coarsened a 256-leaf fine list to
+    # 512-row super-tiles, inflating mean active leaves/tile from 1.9 to
+    # 13.2 and costing 2.8x frame time). At 4K-class grids Mosaic's fixed
+    # scoped overhead is several hundred KB larger (measured: a 4K band
+    # with 184 KB of lists still exceeds 1 MB), and the cost model is not
+    # linear in anything we can see from here — so grids past ~2048 fine
+    # tiles keep the conservative 96 KB point that is known to compile.
+    _n_fine_tiles = (n_pty if aa_packed else n_fty) * n_ftx
+    _LIST_SMEM_BUDGET = (
+        330 * 1024 if _n_fine_tiles <= 2048 else 96 * 1024
+    )
     CLG = 1  # coarse-kernel list tile = CLG coarse grid rows
     # Fine-list super-tile height in PIXEL rows. Floor = the fine kernel's
     # tile height (bm_fine pixel rows unpacked, aa_pack packed), so every
@@ -761,9 +774,12 @@ def make_pallas_image_render_aa(
         cb, fb = _list_bytes(CLG, MHL)
         while cb + fb > _LIST_SMEM_BUDGET:
             # Prefer coarsening the coarse-kernel list (its cones are
-            # blockier anyway); only coarsen the fine list once the coarse
-            # one is much smaller. Measured at 1080p/64 leaves: keeping the
-            # fine list at MH granularity is worth ~2 ms/frame.
+            # blockier anyway, and the fine kernel dominates frame time);
+            # only coarsen the fine list once the coarse one is 4x
+            # smaller. Measured at 1080p/64 leaves: keeping the fine list
+            # at MH granularity is worth ~2 ms/frame; at 256 leaves the
+            # stronger coarse bias is what keeps MHL at 64 rows inside
+            # the SMEM ceiling.
             can_c = bm_coarse * CLG < hb_p  # coarse grid still > 1 list row
             can_f = MHL < _fine_rows_total  # fine grid still > 1 list row
             if not (can_c or can_f):
@@ -773,7 +789,7 @@ def make_pallas_image_render_aa(
                 compact = False
                 scene_compact = None
                 break
-            if can_c and (2 * cb >= fb or not can_f):
+            if can_c and (4 * cb >= fb or not can_f):
                 CLG *= 2
             else:
                 MHL *= 2

@@ -253,8 +253,12 @@ def test_compact_smem_budget_floor_falls_back_instead_of_hanging():
     import dataclasses as _dc
 
     cfg = _dc.replace(rm.DEFAULT_CONFIG, leaf_cull=True)
+    # 12288 px wide: even the ONE-row fine-list floor is 96 x 1001 x 4
+    # = 384 KB, over every budget tier -- the builder must fall back, not
+    # hang (the chip-calibrated budgets are generous enough that narrower
+    # configs now legitimately fit at full width).
     r = make_pallas_image_render_aa(
-        spec, cfg, 4096, 128, interpret=True, no_prepass=True, aa_packed=False
+        spec, cfg, 12288, 128, interpret=True, no_prepass=True, aa_packed=False
     )
     assert not r.compact  # fell back; factory returned (did not hang)
 
