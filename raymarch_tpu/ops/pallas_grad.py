@@ -540,7 +540,7 @@ def make_fused_render_vjp(
     compact_bwd = (
         _plan is not None
         and _plan["seg1"] is None
-        and _plan["stream"] is None
+        and not _plan["stream"]
         and not _plan["residual_ops"]
         and not spec.has_materials
         and 128 % S_ == 0

@@ -173,10 +173,16 @@ _SEG_PLAIN, _SEG_SMOOTH, _SEG_SUB, _SEG_SSUB = 0, 1, 2, 3
 
 def _pack_seg_entry(row: int, tsel: int, mode: int, sid: int, kidx: int) -> int:
     """List-entry packing: row | tsel<<10 | mode<<13 | sid<<15 | (kidx+1)<<18.
-    kidx = -1 marks "no op_param" (hard modes). `sid` is the stream
-    segment id MOD 8 — it only needs to distinguish ADJACENT segments in a
-    multi-segment stream (see the stream evaluator), and compaction
-    preserves item order, so 3 bits suffice for any segment count."""
+    kidx = -1 marks "no op_param" (hard modes). `sid` is the segment id
+    WITHIN one stream group. The 3-bit field is only boundary-exact if every
+    segment in the group has a DISTINCT sid: per-tile culling can drop every
+    item of intervening segments, making any two of a group's segments
+    adjacent in the compacted list (a round-4 advisor finding: with sid
+    taken mod 8 over an unbounded segment count, segments i and i+8 merged
+    folds when 1..7 culled away). build_compact_plan therefore CHUNKS
+    multi-segment streams into groups of <= 8 segments each — sids unique
+    per group, boundaries between groups structural (separate fori_loops
+    with fresh carries)."""
     assert 0 <= row < 1024 and 0 <= tsel < 8 and 0 <= mode < 4
     assert 0 <= sid < 8 and -1 <= kidx < (1 << 13) - 1
     return (
@@ -254,12 +260,14 @@ def build_compact_plan(spec: TapeSpec):
                  per-segment free groups + one ordered group (the prefix
                  must finish before the ordered fold, so it cannot join
                  the global pool).
-      stream   — >=2 sensitive root operands: ALL their prefix+ordered
-                 items in ONE sid-tagged ordered group; the evaluator runs
-                 them in a single fori_loop with (acc_out, acc_seg)
-                 carries, folding acc_seg into acc_out at each segment
-                 boundary (sid change). N spatially-local smooth clusters
-                 therefore cost one loop of O(total active), not N loops.
+      stream   — >=2 sensitive root operands: their prefix+ordered items
+                 in sid-tagged ordered groups of <= 8 segments each (a
+                 tuple of group indices; sids must be UNIQUE within a
+                 group — see _pack_seg_entry); each group's evaluator is
+                 one fori_loop with (acc_out, acc_seg) carries, folding
+                 acc_seg into acc_out at each segment boundary (sid
+                 change). N spatially-local smooth clusters therefore cost
+                 ceil(N/8) loops of O(total active), not N loops.
       residual_ops — root operands with no exact fold (intersections,
                  round/onion, double-sensitive unions): unrolled trees in
                  which fully-foldable subtrees still become ISO segments
@@ -381,7 +389,7 @@ def build_compact_plan(spec: TapeSpec):
 
     pool = tuple(add_free_groups(plain_items))
     seg1 = None
-    stream = None
+    stream: tuple = ()
     if len(sensitive) == 1:
         pre, mid, _ = _split_sensitive(sensitive[0])
         idxs = add_free_groups(pre)
@@ -392,12 +400,20 @@ def build_compact_plan(spec: TapeSpec):
         )
         seg1 = tuple(idxs)
     elif len(sensitive) > 1:
-        tagged = [
-            (ro, k, m, si)
-            for si, items in enumerate(sensitive)
-            for (ro, k, m) in items
-        ]
-        stream = add_ordered_group(tagged, stream=True)
+        # Chunk into groups of <= 8 segments so every segment in a group
+        # has a unique 3-bit sid: boundary detection in run_stream compares
+        # sids of list-ADJACENT items, and per-tile culling can make ANY
+        # two of a group's segments adjacent (see _pack_seg_entry).
+        stream_idxs = []
+        for c0 in range(0, len(sensitive), 8):
+            chunk = sensitive[c0 : c0 + 8]
+            tagged = [
+                (ro, k, m, si)
+                for si, items in enumerate(chunk)
+                for (ro, k, m) in items
+            ]
+            stream_idxs.append(add_ordered_group(tagged, stream=True))
+        stream = tuple(stream_idxs)
 
     residual_ops = tuple(walk(nd) for nd in residual_nodes)
 
@@ -575,8 +591,8 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
             d = run_free(plan["groups"][gi], d)
         if plan["seg1"] is not None:
             d = jnp.minimum(d, eval_group_chain(plan["seg1"]))
-        if plan["stream"] is not None:
-            d = run_stream(plan["groups"][plan["stream"]], d)
+        for gi in plan["stream"]:
+            d = run_stream(plan["groups"][gi], d)
         for nd in plan["residual_ops"]:
             d = jnp.minimum(d, eval_node(nd))
         return d

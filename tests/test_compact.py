@@ -52,7 +52,7 @@ def test_compactable_detection():
     # pure union => ONE segment, all items order-free (round-3 fast path)
     plan_u = build_compact_plan(spec_u)
     assert plan_u["pool"] and plan_u["seg1"] is None
-    assert plan_u["stream"] is None and not plan_u["residual_ops"]
+    assert plan_u["stream"] == () and not plan_u["residual_ops"]
     assert all(not g["ordered"] for g in plan_u["groups"])
     # subtraction linearizes too now (fold max(acc, -d), exact skip lemma)
     s = rm.sphere(radius=1.0) - rm.box(half_extents=(0.4, 0.4, 0.4))
@@ -306,7 +306,7 @@ def test_mixed_ops_scene_is_one_segment():
     spec, _ = rm.compile_scene(_mixed_ops_scene(), static=True)
     plan = build_compact_plan(spec)
     assert plan is not None
-    assert plan["seg1"] is not None and plan["stream"] is None
+    assert plan["seg1"] is not None and plan["stream"] == ()
     assert not plan["residual_ops"]
     free = [g for g in plan["groups"] if not g["ordered"]]
     ordered = [g for g in plan["groups"] if g["ordered"]]
@@ -351,8 +351,8 @@ def test_cluster_scene_takes_stream_path():
     spec, arrays = rm.compile_scene(_cluster_scene(), static=True)
     plan = build_compact_plan(spec)
     assert plan is not None
-    assert plan["stream"] is not None and plan["seg1"] is None
-    sg = plan["groups"][plan["stream"]]
+    assert len(plan["stream"]) == 1 and plan["seg1"] is None
+    sg = plan["groups"][plan["stream"][0]]
     assert sg["stream"] and len(sg["rows"]) == 18  # 6 clusters x 3 items
     # path-aware inflation: each leaf's bound carries its OWN cluster's
     # two ks, not the scene-wide sum
@@ -500,6 +500,81 @@ def test_256_leaf_compact_matches_oracle():
     d = np.abs(img - img_o)
     assert d.mean() < 1e-4, d.mean()
     assert (d.max(axis=-1) > 0.01).mean() < 0.005, (d.max(), d.mean())
+
+
+def _nine_segment_scene():
+    """9 sensitive root operands (sphere - carve each): a STREAM plan with
+    more segments than the 3-bit sid field. Operands 1..7 and operand 8's
+    BASE sphere sit far off-screen (culled for every visible tile), while
+    operand 8's carve sphere overlaps operand 0's front surface. Under the
+    round-4 packing (sid stored mod 8 over one unbounded stream) segments 0
+    and 8 shared sid 0: with the middle segments culled away their items
+    became list-adjacent, run_stream missed the boundary, and segment 8's
+    subtraction carved segment 0's surface (advisor finding, round 4).
+    The fix chunks streams into <= 8-segment groups with unique sids."""
+    ops = []
+    for i in range(9):
+        if i == 0:
+            base = rm.sphere(center=(0.0, 0.0, 0.0), radius=1.0)
+            carve = rm.sphere(center=(320.0, 0.0, 0.0), radius=0.1)
+        elif i == 8:
+            base = rm.sphere(center=(640.0, 0.0, 0.0), radius=0.3)
+            carve = rm.sphere(center=(0.0, 0.0, 1.0), radius=0.5)
+        else:
+            base = rm.sphere(center=(300.0 + 40.0 * i, 0.0, 0.0), radius=0.3)
+            carve = rm.sphere(center=(300.0 + 40.0 * i, 0.0, 0.3), radius=0.1)
+        ops.append(base - carve)
+    scene = ops[0]
+    for o in ops[1:]:
+        scene = scene | o
+    return scene
+
+
+def test_stream_sid_unique_per_group():
+    from raymarch_tpu.ops.pallas_march import build_compact_plan
+
+    spec, _ = rm.compile_scene(_nine_segment_scene(), static=True)
+    plan = build_compact_plan(spec)
+    assert plan is not None and len(plan["stream"]) == 2  # 8 + 1 segments
+    for gi in plan["stream"]:
+        g = plan["groups"][gi]
+        # every segment id used in this group maps to ONE segment: the items
+        # of a segment are contiguous, so the sid sequence must never revisit
+        # a value after leaving it
+        sids = [(e >> 15) & 7 for e in g["entries"]]
+        seen, prev = set(), None
+        for s in sids:
+            if s != prev:
+                assert s not in seen, "sid reused within a stream group"
+                seen.add(s)
+            prev = s
+
+
+def test_stream_sid_collision_culled_segments_render():
+    # The advisor's repro: segments 1..7 (and segment 8's base) culled for
+    # every visible tile, leaving segment 0's items adjacent to segment 8's
+    # carve. The compact render must match the un-culled render (which does
+    # NOT carve: the carve belongs to segment 8's own fold, whose base is
+    # far away, so max(FAR, -d) = FAR contributes nothing).
+    scene = _nine_segment_scene()
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.0, 0.0, 5.0), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True)
+    cfg_off = dc.replace(cfg_on, leaf_cull=False)
+    kw = dict(no_prepass=True, aa_packed=False)
+    r_on = make_pallas_image_render_aa(
+        spec, cfg_on, 128, 96, interpret=True, **kw
+    )
+    assert r_on.compact
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 128, 96, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
 
 
 def test_256_leaf_1080p_geometry_coarsens_within_budget():
