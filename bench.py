@@ -33,6 +33,62 @@ WIDTH, HEIGHT = 1920, 1080
 BASELINE_RAYS_PER_S = 1e9
 FRAMES = 20
 
+# Round-over-round regression tracking: every timed row lands here and is
+# written to BENCH_ROWS.json (committed), and the run compares itself
+# against the previous file BEFORE overwriting — a silent regression on any
+# row prints a loud REGRESSION line (the round-4 4K regression shipped
+# unnoticed because only absolute numbers were printed).
+_ROWS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_ROWS.json")
+_ROWS: dict = {}
+_REGRESSION_PCT = 8.0
+
+
+def record_row(name, dt_s, n_rays):
+    _ROWS[name] = {
+        "ms": round(dt_s * 1e3, 3),
+        "grays_per_s": round(n_rays / dt_s / 1e9, 4),
+    }
+
+
+def compare_and_write_rows(extra=None):
+    prev = None
+    if os.path.exists(_ROWS_PATH):
+        try:
+            with open(_ROWS_PATH) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+    n_reg = 0
+    if prev and "rows" in prev:
+        print("--- round-over-round vs previous BENCH_ROWS.json ---",
+              file=sys.stderr)
+        for name, cur in _ROWS.items():
+            old = prev["rows"].get(name)
+            if old is None:
+                print(f"  {name}: NEW ({cur['ms']} ms)", file=sys.stderr)
+                continue
+            pct = (cur["ms"] / old["ms"] - 1.0) * 100.0
+            tag = ""
+            if pct > _REGRESSION_PCT:
+                tag = "  <<< REGRESSION"
+                n_reg += 1
+            elif pct < -_REGRESSION_PCT:
+                tag = "  (improved)"
+            print(
+                f"  {name}: {old['ms']} -> {cur['ms']} ms ({pct:+.1f}%){tag}",
+                file=sys.stderr,
+            )
+        if n_reg:
+            print(f"!!! {n_reg} row(s) regressed > {_REGRESSION_PCT}% — "
+                  "investigate before shipping", file=sys.stderr)
+    payload = {"rows": _ROWS}
+    if extra:
+        payload.update(extra)
+    with open(_ROWS_PATH, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return n_reg
+
 
 def scene_config2(rm):
     """Multi-primitive CSG (BASELINE config 2): sphere/box/torus with union +
@@ -133,14 +189,26 @@ def main():
     for p in pcl[1:]:
         pscene_cl = pscene_cl | p
 
+    # Second gate camera: steeper tilt (32 deg > fovy/2, horizon out of
+    # frame) from a different azimuthal height — catches list-geometry /
+    # band-offset miscompiles the primary camera's tile layout can miss
+    # (the round-4 4K regression was invisible to a single-viewpoint gate).
+    pcam2 = rm.Camera.looking_at(position=(0.0, 5.0, 8.0), target=(0, 0, 0))
+    pcv2 = jnp.asarray(
+        np.concatenate([pcam2.position, pcam2.rotation, [0.0]]).astype(
+            np.float32
+        )
+    )
+
     _oracle_cache = {}
 
-    def _oracle_img(sc):
-        if id(sc) not in _oracle_cache:
-            _oracle_cache[id(sc)] = rm.oracle.render(
-                rm.encode_wire(sc), pcam, PW, PH, cfg0
+    def _oracle_img(sc, cam_o):
+        key = (id(sc), id(cam_o))
+        if key not in _oracle_cache:
+            _oracle_cache[key] = rm.oracle.render(
+                rm.encode_wire(sc), cam_o, PW, PH, cfg0
             )
-        return _oracle_cache[id(sc)]
+        return _oracle_cache[key]
 
     def _neigh_diff(img, ref):
         """Per-pixel min over |img - ref| across ref's 3x3 neighborhood:
@@ -158,11 +226,11 @@ def main():
                 best[ys, xs] = np.minimum(best[ys, xs], dd)
         return best
 
-    def parity(name, sc, cfg_p, static=True, tight=False, **kw):
+    def parity(name, sc, cfg_p, static=True, tight=False, cam2=False, **kw):
         spec_p, arrays_p = rm.compile_scene(sc, static=static)
         rnd_p = make_pallas_image_render_aa(spec_p, cfg_p, PW, PH, **kw)
-        img = np.asarray(jax.jit(rnd_p)(arrays_p, pcv))
-        ref = _oracle_img(sc)
+        img = np.asarray(jax.jit(rnd_p)(arrays_p, pcv2 if cam2 else pcv))
+        ref = _oracle_img(sc, pcam2 if cam2 else pcam)
         d = np.abs(img - ref)
         nd = _neigh_diff(img, ref)
         frac = float((nd > 0.01).mean())
@@ -203,6 +271,10 @@ def main():
         "compact-cull", pscene_cl, cfg64,
         prepass_block=1, n_intervals=2, aa_packed=True,
     )
+    parity(
+        "headline-cam2", scene, cfg, cam2=True,
+        prepass_block=1, aa_packed=True,
+    )
 
     # --- headline: cone-prepass fused renderer, static tape -----------------
     spec_s, arrays_s = rm.compile_scene(scene, static=True)
@@ -221,6 +293,7 @@ def main():
         f"{fwd_rays_per_s/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+    record_row("headline_prepass_static", dt_head, n_rays)
     lat = timeit_latency(headline, arrays_s, cam_vec)
     print(
         f"  single-frame latency (incl. tunnel round-trip): {lat*1e3:.1f} ms",
@@ -241,6 +314,8 @@ def main():
         file=sys.stderr,
     )
 
+    record_row("interval_relax_static", dt_ir, n_rays)
+
     # --- secondary: 64-primitive scene (BASELINE config-5 class) ------------
     # Per-tile subtree culling + interval prepass + relaxed stepping breaks
     # the O(n_leaves)-per-query cost (reference interprets the whole tape
@@ -257,6 +332,13 @@ def main():
     for p in parts[1:]:
         scene64 = scene64 | p
     spec64, arrays64 = rm.compile_scene(scene64, static=True)
+    # Gate the EXACT 64-leaf kernel configuration the rows below time, from
+    # the second camera (round-5 parity-gate hardening: the timed compact
+    # plan geometries get their own on-device oracle check).
+    parity(
+        "compact-64leaf-cam2", scene64, cfg64, cam2=True,
+        prepass_block=1, n_intervals=2, aa_packed=True,
+    )
     cam64 = rm.Camera.looking_at(position=(0.0, 2.5, 9.0), target=(0.0, 0.0, 0.0))
     cam64_vec = jnp.asarray(
         np.concatenate([cam64.position, cam64.rotation, [0.0]]).astype(np.float32)
@@ -272,6 +354,8 @@ def main():
         f"{n_rays/dt_64/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+
+    record_row("64leaf_cull_intervals", dt_64, n_rays)
 
     # --- secondary: 64-primitive MIXED-ops scene ----------------------------
     # Smooth unions and subtractions over the hard-union bulk: the general
@@ -322,6 +406,8 @@ def main():
         file=sys.stderr,
     )
 
+    record_row("64leaf_smooth_chain", dt_m, n_rays)
+
     # 64-leaf CLUSTER scene: 16 spatially-local clusters of (base sphere
     # smooth-unioned with a blob, smooth-subtracted dent) + 16 bare
     # spheres, all hard-unioned — the representative mixed-op scene class
@@ -371,6 +457,8 @@ def main():
         file=sys.stderr,
     )
 
+    record_row("64leaf_mixed_cluster", dt_cl, n_rays)
+
     # 256-primitive scene: evidence the O(active) machinery scales past the
     # BASELINE config-5 size (exercises the SMEM-budget list coarsening;
     # see tests/test_compact.py::test_256_leaf_*).
@@ -394,8 +482,12 @@ def main():
             np.float32
         )
     )
+    # prepass_block=4 for the many-leaf rows: one cone per 4x4-pixel block
+    # cuts the coarse pass ~2x at 256+ leaves (measured: 61.9 -> 51.8 ms)
+    # while 64-leaf scenes are faster at block=1 (18.7 vs 21.2 ms) — wider
+    # block cones start fine rays earlier than they save coarse work there.
     rnd256 = make_pallas_image_render_aa(
-        spec256, cfg64, WIDTH, HEIGHT, prepass_block=1, n_intervals=2,
+        spec256, cfg64, WIDTH, HEIGHT, prepass_block=4, n_intervals=2,
         aa_packed=True,
     )
     assert rnd256.compact, "256-leaf scene must take the compacted path"
@@ -406,6 +498,45 @@ def main():
         f"{dt_256*1e3:.2f} ms/frame, {n_rays/dt_256/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+
+    record_row("256leaf_compact", dt_256, n_rays)
+
+    # 1024-primitive scene (round-5 scale ceiling): list x-coarsening keeps
+    # the compact path alive where row-only coarsening forced the gated
+    # O(L) fallback.
+    rng1k = np.random.default_rng(33)
+    p1k = []
+    for _ in range(1024):
+        c = rng1k.uniform(-12, 12, 3)
+        c[1] = rng1k.uniform(-1.0, 2.5)
+        p1k.append(
+            rm.sphere(center=tuple(c), radius=float(rng1k.uniform(0.15, 0.45)))
+        )
+    while len(p1k) > 1:
+        p1k = [
+            p1k[i] | p1k[i + 1] if i + 1 < len(p1k) else p1k[i]
+            for i in range(0, len(p1k), 2)
+        ]
+    spec1k, arrays1k = rm.compile_scene(p1k[0], static=True)
+    cam1k = rm.Camera.looking_at(position=(0.0, 6.0, 30.0), target=(0, 0, 0))
+    cam1k_vec = jnp.asarray(
+        np.concatenate([cam1k.position, cam1k.rotation, [0.0]]).astype(
+            np.float32
+        )
+    )
+    rnd1k = make_pallas_image_render_aa(
+        spec1k, cfg64, WIDTH, HEIGHT, prepass_block=4, n_intervals=2,
+        aa_packed=True,
+    )
+    assert rnd1k.compact, "1024-leaf scene must take the compacted path"
+    f1k = jax.jit(lambda a, c: jnp.sum(rnd1k(a, c)))
+    dt_1k, _ = timeit(f1k, arrays1k, cam1k_vec, frames=10, reps=2)
+    print(
+        f"1024-primitive render (compact, xy-coarsened lists): "
+        f"{dt_1k*1e3:.2f} ms/frame, {n_rays/dt_1k/1e9:.3f} Grays/s",
+        file=sys.stderr,
+    )
+    record_row("1024leaf_compact", dt_1k, n_rays)
 
     # BASELINE config 5 at full 4K on the single chip, rendered as 3 row
     # bands of 720 (the row-sharded multi-chip structure; also keeps the
@@ -437,6 +568,8 @@ def main():
         file=sys.stderr,
     )
 
+    record_row("64leaf_4k_3band", dt_4k, n4k)
+
     # --- secondary: per-AA-ray march (no prepass; bound accel + K=4) --------
     rnd_np = make_pallas_image_render_aa(
         spec_s, cfg, WIDTH, HEIGHT, no_prepass=True, aa_packed=True
@@ -448,6 +581,8 @@ def main():
         f"{n_rays/dt_fused/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+
+    record_row("no_prepass", dt_fused, n_rays)
 
     # --- secondary: STRICT reference march semantics (no accel at all) ------
     # Every AA ray sphere-traces from t=0, plain steps, per-step exit check,
@@ -466,6 +601,8 @@ def main():
         file=sys.stderr,
     )
 
+    record_row("strict_reference", dt_na, n_rays)
+
     # --- secondary: dynamic tape (zero-recompile runtime edits) -------------
     # Same cone-prepass configuration as the static headline; the macro-op
     # interpreter (ops.tape.macroize_streams) keeps the gap ~1.4x.
@@ -480,6 +617,8 @@ def main():
         f"{n_rays/dt_dyn/1e9:.3f} Grays/s",
         file=sys.stderr,
     )
+
+    record_row("dynamic_tape_prepass", dt_dyn, n_rays)
 
     # --- secondary: march-only + stats --------------------------------------
     from raymarch_tpu.ops.pallas_march import make_pallas_image_march
@@ -497,6 +636,27 @@ def main():
         f"avg steps/ray {avg_steps:.1f}, hit rate {hit_rate:.3f}",
         file=sys.stderr,
     )
+
+    record_row("march_only", dt_march, n_rays)
+
+    # Fast march-only (round 5): the raw-march API on the fused path's
+    # scheduling — cone prepass + AA-packed 2-D tiles, shading skipped.
+    from raymarch_tpu.ops.pallas_prepass import make_pallas_image_march_fast
+
+    imf = make_pallas_image_march_fast(
+        spec_s, cfg_ir, WIDTH, HEIGHT, prepass_block=1, n_intervals=2
+    )
+    march_fast = jax.jit(
+        lambda a, c: (lambda t, h: (jnp.sum(t), jnp.mean(h)))(*imf(a, c))
+    )
+    dt_mf, outf = timeit(march_fast, arrays_s, cam_vec)
+    hit_rate_f = float(np.asarray(outf[1]))
+    print(
+        f"march-only FAST (prepass+packed): {dt_mf*1e3:.2f} ms, "
+        f"{n_rays/dt_mf/1e9:.3f} Grays/s, hit rate {hit_rate_f:.3f}",
+        file=sys.stderr,
+    )
+    record_row("march_only_fast", dt_mf, n_rays)
 
     # --- secondary: fwd+bwd (pixel-loss gradient wrt scene params + camera) -
     try:
@@ -521,6 +681,8 @@ def main():
             f"{n_rays/dt_bwd/1e9:.3f} Grays/s",
             file=sys.stderr,
         )
+
+        record_row("fwdbwd_fused", dt_bwd, n_rays)
 
         # Soft-coverage fwd+bwd (silhouette gradients at fused speed):
         # packed no-prepass forward with (s_min, t_min) residuals + the
@@ -547,6 +709,8 @@ def main():
             file=sys.stderr,
         )
 
+        record_row("fwdbwd_soft", dt_soft, n_rays)
+
         # 64-primitive fwd+bwd through the O(active) compact backward
         # (winner-masked min-fold transpose; pallas_grad._make_compact_bwd).
         rv64 = make_fused_render_vjp(spec64, cfg64, WIDTH, HEIGHT)
@@ -570,6 +734,121 @@ def main():
             file=sys.stderr,
         )
 
+        record_row("fwdbwd_64leaf_compact", dt_b64, n_rays)
+
+        # 64-leaf MIXED cluster fwd+bwd: the round-5 generalized O(active)
+        # backward (stream plan fold replay + reverse sweeps) — training
+        # speed for the general scene class, not just pure hard unions.
+        rv_cl = make_fused_render_vjp(spec_cl, cfg64, WIDTH, HEIGHT)
+        assert rv_cl.compact_bwd, (
+            "cluster scene must take the compact backward: "
+            + str(rv_cl.backward_info)
+        )
+
+        def loss_cl(lp, opp, c):
+            a = dataclasses.replace(arrays_cl, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv_cl(a, c) ** 2)
+
+        grad_cl = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_cl, argnums=(0, 1, 2))(lp, opp, c)
+        )
+        dt_bcl, _ = timeit(
+            grad_cl,
+            jnp.asarray(arrays_cl.leaf_params),
+            jnp.asarray(arrays_cl.op_param),
+            cam64_vec,
+            warmup=2, frames=10, reps=2,
+        )
+        print(
+            f"64-leaf MIXED cluster fwd+bwd (compact stream vjp): "
+            f"{dt_bcl*1e3:.1f} ms, {n_rays/dt_bcl/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+        record_row("fwdbwd_64leaf_cluster", dt_bcl, n_rays)
+
+        # Painted-material 64-leaf fwd+bwd: winner-routed albedo gradients
+        # through the compact backward (pool-only painted plans).
+        rngp = np.random.default_rng(17)
+        pparts = []
+        for _ in range(64):
+            c = rngp.uniform(-3, 3, 3)
+            c[1] = rngp.uniform(-1.0, 1.5)
+            pparts.append(
+                rm.sphere(
+                    center=tuple(c),
+                    radius=float(rngp.uniform(0.15, 0.5)),
+                    material=tuple(rngp.uniform(0.1, 0.9, 3)),
+                )
+            )
+        scene_p = pparts[0]
+        for p in pparts[1:]:
+            scene_p = scene_p | p
+        spec_p, arrays_p = rm.compile_scene(scene_p, static=True)
+        rv_p = make_fused_render_vjp(spec_p, cfg64, WIDTH, HEIGHT)
+        assert rv_p.compact_bwd, (
+            "painted 64-leaf scene must take the compact backward: "
+            + str(rv_p.backward_info)
+        )
+
+        def loss_p(lp, opp, c):
+            a = dataclasses.replace(arrays_p, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv_p(a, c) ** 2)
+
+        grad_p = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_p, argnums=(0, 1, 2))(lp, opp, c)
+        )
+        dt_bp, _ = timeit(
+            grad_p,
+            jnp.asarray(arrays_p.leaf_params),
+            jnp.asarray(arrays_p.op_param),
+            cam64_vec,
+            warmup=2, frames=10, reps=2,
+        )
+        print(
+            f"64-leaf PAINTED fwd+bwd (compact vjp, winner-routed albedo): "
+            f"{dt_bp*1e3:.1f} ms, {n_rays/dt_bp/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+        record_row("fwdbwd_64leaf_painted", dt_bp, n_rays)
+
+        # 64-leaf SOFT fwd+bwd (round 5): silhouette/coverage gradients at
+        # many-primitive scale — per-leaf soft bound inflation keeps the
+        # cull/compact machinery exact, the compact backward adds the
+        # envelope sweep at the frozen closest approach.
+        cfg_soft64 = _dc.replace(
+            cfg0, exit_check_every=4, bound_accel=True, leaf_cull=True
+        )
+        rv_s64 = make_fused_render_vjp(
+            spec64, cfg_soft64, WIDTH, HEIGHT, soft=True
+        )
+        assert rv_s64.compact_bwd, (
+            "soft 64-leaf scene must take the compact backward: "
+            + str(rv_s64.backward_info)
+        )
+
+        def loss_s64(lp, opp, c):
+            a = dataclasses.replace(arrays64, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv_s64(a, c) ** 2)
+
+        grad_s64 = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_s64, argnums=(0, 1, 2))(
+                lp, opp, c
+            )
+        )
+        dt_s64, _ = timeit(
+            grad_s64,
+            jnp.asarray(arrays64.leaf_params),
+            jnp.asarray(arrays64.op_param),
+            cam64_vec,
+            warmup=2, frames=10, reps=2,
+        )
+        print(
+            f"64-leaf SOFT fwd+bwd (compact vjp + envelope): "
+            f"{dt_s64*1e3:.1f} ms, {n_rays/dt_s64/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+        record_row("fwdbwd_64leaf_soft", dt_s64, n_rays)
+
         render = rm.make_renderer(
             spec_s, WIDTH, HEIGHT, cfg, mode="implicit", backend="pallas",
             chunk=1 << 20,
@@ -586,8 +865,58 @@ def main():
             f"{n_rays/dt_bwd2/1e9:.3f} Grays/s",
             file=sys.stderr,
         )
+        record_row("fwdbwd_jnp", dt_bwd2, n_rays)
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"fwd+bwd benchmark failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- predicted multi-chip efficiency from measured band times -----------
+    # The strongest 8->32 evidence a one-chip environment can produce
+    # (BASELINE north star >= 95% efficiency): time each of 32 contiguous row
+    # bands on the real chip, then compute per-device utilization efficiency
+    # mean/max for (a) contiguous assignment (device d = bands 4d..4d+3) and
+    # (b) parallel.render row_interleave=4 (device d = bands d, d+8, ...).
+    # The all-reduce payload is ~KB (one collective/step, ARCHITECTURE
+    # "Communication analysis"), so band-compute skew IS the efficiency model.
+    eff = {}
+    try:
+        import bench_bands as bb
+
+        for name, (sp, ar, cm, cg, bw, bh, kw) in {
+            "config2_1080p": (
+                spec_s, arrays_s, cam, cfg, WIDTH, HEIGHT,
+                dict(prepass_block=1, aa_packed=True),
+            ),
+            "config5_4k_64leaf": (
+                spec64, arrays64, cam64, cfg64, 3840, 2160,
+                dict(prepass_block=1, n_intervals=2, aa_packed=True),
+            ),
+        }.items():
+            times = bb.band_times(
+                rm, jax, jnp, sp, ar, cm, cg, bw, bh, 32,
+                frames=5, reps=2, **kw
+            )
+            contig = times.reshape(8, 4).sum(1)
+            inter = times.reshape(4, 8).sum(0)
+            eff[name] = {
+                "predicted_8chip_efficiency_contiguous": round(
+                    float(contig.mean() / contig.max()), 4
+                ),
+                "predicted_8chip_efficiency_interleave4": round(
+                    float(inter.mean() / inter.max()), 4
+                ),
+            }
+            print(
+                f"bands[{name}]: predicted 8-chip efficiency "
+                f"contiguous={eff[name]['predicted_8chip_efficiency_contiguous']:.3f} "
+                f"interleave4={eff[name]['predicted_8chip_efficiency_interleave4']:.3f}",
+                file=sys.stderr,
+            )
+        print(json.dumps({"predicted_8chip_efficiency": eff}), file=sys.stderr)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"band-efficiency proxy failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    compare_and_write_rows(extra={"predicted_8chip_efficiency": eff})
 
     result = {
         "metric": "fwd_rays_per_sec_1080p_16aa",
@@ -595,6 +924,10 @@ def main():
         "unit": "rays/s",
         "vs_baseline": fwd_rays_per_s / BASELINE_RAYS_PER_S,
     }
+    if eff:
+        result["predicted_8chip_efficiency_interleave4"] = min(
+            v["predicted_8chip_efficiency_interleave4"] for v in eff.values()
+        )
     print(json.dumps(result))
 
 

@@ -20,7 +20,8 @@ N_DEV = 8
 K = 4
 
 
-def band_times(rm, jax, jnp, spec, arrays, cam, cfg, W, H, n_bands, **kw):
+def band_times(rm, jax, jnp, spec, arrays, cam, cfg, W, H, n_bands,
+               frames=10, reps=3, **kw):
     from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
 
     band_rows = -(-H // n_bands)
@@ -38,13 +39,13 @@ def band_times(rm, jax, jnp, spec, arrays, cam, cfg, W, H, n_bands, **kw):
         for _ in range(2):
             float(np.asarray(f(arrays, cv)))  # warmup + sync
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = None
-            for _ in range(10):
+            for _ in range(frames):
                 out = f(arrays, cv)
             float(np.asarray(out))
-            best = min(best, (time.perf_counter() - t0) / 10)
+            best = min(best, (time.perf_counter() - t0) / frames)
         times.append(best)
     return np.asarray(times)
 

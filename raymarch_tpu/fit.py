@@ -32,6 +32,9 @@ class FitResult:
     camera: object
     losses: list
     steps_per_sec: float
+    # Which backward implementation the fit trained through (and, when the
+    # fast O(active) kernel was skipped, why) — make_fit_step.backward_info.
+    backward_info: Optional[dict] = None
 
 
 def fit_scene(
@@ -112,6 +115,17 @@ def fit_scene(
     opt_state = step.init_opt_state(arrays, camera if fit_camera else None)
     target = jnp.asarray(target, jnp.float32)
 
+    # Surface which backward this fit trains through (see
+    # make_fit_step.backward_info): a smooth or painted scene can fall off
+    # the O(active) kernel onto the O(n_leaves) legacy one, and that ~10x
+    # cliff should be visible, not silent.
+    bwd = getattr(step, "backward_info", None)
+    if bwd is not None and log_every:
+        msg = f"fit: backward = {bwd['kind']}"
+        if bwd.get("reason"):
+            msg += f" (fast path skipped: {bwd['reason']})"
+        log_fn(msg)
+
     losses = []
     start = 0
     a, cam = arrays, camera
@@ -157,5 +171,9 @@ def fit_scene(
     elapsed = time.perf_counter() - t0
     done = max(steps - start, 1)
     return FitResult(
-        arrays=a, camera=cam, losses=losses, steps_per_sec=done / max(elapsed, 1e-9)
+        arrays=a,
+        camera=cam,
+        losses=losses,
+        steps_per_sec=done / max(elapsed, 1e-9),
+        backward_info=bwd,
     )

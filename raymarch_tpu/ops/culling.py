@@ -105,7 +105,8 @@ def _leaf_op_incidence(spec: TapeSpec):
     return M
 
 
-def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
+def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig,
+                       soft: bool = False):
     """Conservative inflated bounding spheres for every leaf bank row.
 
     Returns f32[n_leaves, 5] rows (cx, cy, cz, r_inflated, bounded) where
@@ -114,6 +115,15 @@ def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
     never changes them (all formulas are rotation-invariant norms). The
     blend-radius inflation is PER LEAF (path ops only, _leaf_op_incidence)
     for static tapes; dynamic tapes use the global sum.
+
+    `soft=True` (coverage rendering, ops.march shade_soft semantics)
+    additionally inflates every bound by 104 * cfg.coverage_beta: a culled
+    leaf then satisfies d_leaf >= min_dist + 104*beta along every tile ray,
+    so wherever its FAR substitution could raise the scene min, the true
+    coverage alpha = exp(-(s_min - min_dist)/beta) <= exp(-104) underflows
+    to exactly 0.0 in f32 on BOTH paths — the same exactness argument as
+    the soft scene-bound acceleration (ops.pallas_prepass
+    _fine_march_tile_soft), applied per leaf.
     """
     lp = jnp.asarray(arrays.leaf_params)
     n = spec.n_leaves
@@ -144,6 +154,8 @@ def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig):
     M = _leaf_op_incidence(spec)
     ksum = jnp.sum(opp_abs) if M is None else jnp.asarray(M) @ opp_abs
     expand = ksum + cfg.min_dist + 8.0 * cfg.normal_eps + _RADIUS_MARGIN
+    if soft:
+        expand = expand + 104.0 * cfg.coverage_beta
     bounded = jnp.where(types_a == oc.LEAF_PLANE, 0.0, 1.0)
     return jnp.concatenate(
         [

@@ -523,10 +523,17 @@ def pixel_grads(
 
     if n_cam:
         q = np.asarray(cam_rotation, np.float64)
-        # v = R(q)^{-1} d (exact inverse of the device raygen rotation),
-        # then dd/dq via the forward-rotation partials at v.
-        vq = np.concatenate([[q[0]], -q[1:4]])
-        v = _rot(vq, d) / (np.sum(q * q) ** 2)  # |q|^2 scale per rotation
+        # v = M(q)^{-1} d where M(q) = I + 2w[u]x + 2[u]x^2 is the device's
+        # RAW-quaternion rotation (sdf.quat_rotate without re-normalizing).
+        # An explicit 3x3 solve: the conjugate trick _rot(conj q)/|q|^4 is
+        # exact only at |q| = 1, and fit_camera-style optimization drifts q
+        # off the unit sphere between projections (round-4 advisor finding).
+        w, u = q[0], q[1:4]
+        ux = np.array(
+            [[0.0, -u[2], u[1]], [u[2], 0.0, -u[0]], [-u[1], u[0], 0.0]]
+        )
+        M = np.eye(3) + 2.0 * w * ux + 2.0 * (ux @ ux)
+        v = np.linalg.solve(M, d.T).T
         _, dd_dq = _rot_with_partials(q, v)
 
     t, hit = _march_f64(tape, o, d, cfg)

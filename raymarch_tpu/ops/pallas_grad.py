@@ -96,33 +96,69 @@ class _OneRow:
         return self._p[idx[1]]
 
 
-def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
-                      interpret):
-    """O(active) backward kernel for PURE hard-union compact plans.
+def compact_bwd_history_len(plan) -> int:
+    """Longest single-source fold an O(active) backward must replay: the
+    seg1 chain's total item capacity or the largest stream group. The
+    backward records each fold's running accumulator per item in a VMEM
+    scratch of this many (128, LANES) planes, so the caller budget-gates
+    on it (see make_fused_render_vjp)."""
+    gm = plan["groups"]
+    h = 0
+    if plan["seg1"]:
+        h = max(h, sum(len(gm[gi]["rows"]) for gi in plan["seg1"]))
+    for gi in plan["stream"]:
+        h = max(h, len(gm[gi]["rows"]))
+    return h
+
+
+def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
+                      n_flx, interpret, soft=False):
+    """O(active) backward kernel for segmented compact plans.
 
     The legacy backward kernel holds the whole unrolled scene transpose in
     its grad graph — program size O(n_leaves), and past IMEM capacity the
     core streams instructions per grid step regardless of branches (same
-    pathology as the forward, see _make_scene_eval_compact). For a hard
-    union the scene transpose is trivial: min-fold sends each evaluation's
-    cotangent to the WINNING leaf only. So this kernel:
+    pathology as the forward, see _make_scene_eval_compact). This kernel is
+    O(active) in work and O(1) in code size for the whole segmented plan
+    class (pallas_march.build_compact_plan): pool + seg1 chain + streams,
+    with winner-routed painted materials for pool-only plans.
 
-      1. re-folds the compacted active list at the 4 tap points + the hit
-         point, carrying (value, argmin row) — O(active) work, O(1) code;
-      2. gets the shading-chain cotangents from jax.grad of a SMALL
-         scene-free function (tap values, t, camera as inputs);
-      3. loops the active rows once more, accumulating each winner-masked
-         cotangent through jax.vjp of the SINGLE-leaf distance (exact
-         per-type/rotation partials for free) into an O(1)-size VMEM
-         accumulator via one-hot row masks — no dynamic scatter;
-      4. assembles the implicit-function t term and the camera chain from
-         the same per-row loop's position cotangents + one raygen vjp.
+    Scene structure: d = min over SOURCES, where a source is (0) the global
+    free pool — a hard-union min-fold, (1) the seg1 chain — free prefix
+    groups + an ordered fold, (2+) each stream group — the min over its
+    <= 8 segments' ordered folds. The backward routes each evaluation
+    point's cotangent to the winning source by a strict-< argmin in source
+    order (matches jnp.minimum's tie-to-first vjp convention composed in
+    the forward), then:
+
+      - POOL winner: the min-fold transpose is winner-masked — push the
+        cotangent through jax.vjp of the SINGLE argmin leaf's distance
+        (exact per-type/rotation partials) into one-hot VMEM accumulators.
+      - ORDERED winner (chain / stream segment): a left fold
+        acc_{j+1} = step(acc_j, leaf_j, mode_j, k_j) whose transpose needs
+        the per-step accumulators. Replay the fold FORWARD recording acc_j
+        into a [hist_len, 128, LANES] VMEM scratch, then sweep the items
+        in REVERSE carrying the running accumulator-cotangent: per item,
+        jax.vjp of the closed-form fold step at (acc_j, leaf_j, k_j)
+        yields the leaf cotangent (pushed through the leaf vjp), the next
+        accumulator-cotangent, and the blend-radius gradient g_k
+        (accumulated one-hot into an op-param plane). Stream sweeps mask
+        items to the WINNING segment (recorded during replay); hard items
+        reduce to winner masks through the same vjp.
+
+    The implicit-function t term runs the same sweeps twice at the hit
+    point: once with unit cotangent collecting position gradients for
+    fdot = grad_x F . d, once with the clamped -gt*hit/fdot weight for the
+    parameter/camera chain. Materials (pool-only plans): the hit fold also
+    tracks the winner's albedo/flag; shading cotangents route to the
+    winner's albedo columns exactly (hard winners make d(color)/d(geometry)
+    zero a.e., matching oracle_grad).
 
     No-hit tiles contribute EXACTLY zero gradient (the floor/miss chain is
     piecewise constant: checker parity passes an int cast, all gates select
     constants), so they skip everything. Returns
-    run(lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb)
-      -> (d_lp[n_leaves,16->LEAF_PARAM_WIDTH], d_cam[7]).
+    run(lp, opp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb)
+      -> (d_lp[n_leaves, LEAF_PARAM_WIDTH], d_opp[n_instr], d_cam[7]).
     """
     naa = cfg.aa_samples
     S = naa * naa
@@ -141,13 +177,32 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
     from .culling import FAR
 
     row_types = {r: (t, rot) for r, t, rot in _leaf_static_rows(spec)}
+    gm = plan["groups"]
     groups = [
         (g["offset"], g["count_idx"], g["ltype"], g["rotated"])
         for gi in plan["pool"]
-        for g in [plan["groups"][gi]]
+        for g in [gm[gi]]
     ]
+    chain = tuple(plan["seg1"] or ())
+    streams = tuple(plan["stream"])
+    has_ordered = bool(chain or streams)
+    use_mats = spec.has_materials  # caller gates: pool-only when set
+    HIST = compact_bwd_history_len(plan)
+    # Source ids: 0 = pool, 1 = chain (when present), then stream groups.
+    src_ids = {}
+    _next = 1
+    if chain:
+        src_ids["chain"] = _next
+        _next += 1
+    stream_src = {}
+    for gi in streams:
+        stream_src[gi] = _next
+        _next += 1
+    n_src = _next
+
     NLP = ((spec.n_leaves + 7) // 8) * 8  # sublane-padded accumulator rows
     NC = oc.LEAF_PARAM_WIDTH  # param cols accumulated per leaf
+    OPP_PAD = max(8, ((spec.n_instr + 7) // 8) * 8)
     _TAPS = (
         (1.0, -1.0, -1.0),
         (-1.0, -1.0, 1.0),
@@ -173,11 +228,34 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
         oz = jnp.zeros_like(dz) + cam[2]
         return ox, oy, oz, dx, dy, dz
 
+    # Static history bases: every ordered source owns a fixed slice of the
+    # history scratch, so the hit point records once and sweeps twice.
+    chain_base = 0
+    chain_bases = []
+    _b = 0
+    for gi in chain:
+        chain_bases.append(_b)
+        _b += len(gm[gi]["rows"])
+    stream_base = {}
+    for gi in streams:
+        stream_base[gi] = _b
+        _b += len(gm[gi]["rows"])
+
     def bwd_kernel(
-        lp_ref, cam_ref, clf_ref, ccf_ref,
-        tm_ref, hm_ref, gr_ref, gg_ref, gb_ref,
-        gleaf_ref, gcam_ref, accv, acc_cam,
+        lp_ref, opp_ref, cam_ref, clf_ref, ccf_ref,
+        tm_ref, hm_ref, *rest,
     ):
+        if soft:
+            # Soft-coverage mode (ops.march shade_soft semantics): extra
+            # (s_min, t_min) closest-approach residuals feed the coverage
+            # alpha and the envelope (Danskin) term.
+            sm_ref, tmn_ref, *rest = rest
+        gr_ref, gg_ref, gb_ref, gleaf_ref, gopp_ref, gcam_ref, *scratch = rest
+        if has_ordered:
+            accv, acc_opp, acc_cam, hist = scratch
+        else:
+            accv, acc_opp, acc_cam = scratch
+            hist = None
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         step = ty * n_tx + tx
@@ -185,6 +263,7 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
         @pl.when(step == 0)
         def _():
             accv[:] = jnp.zeros_like(accv)
+            acc_opp[:] = jnp.zeros_like(acc_opp)
             for j in range(7):
                 acc_cam[j] = 0.0
 
@@ -208,6 +287,13 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
         ox, oy, oz, dx, dy, dz = _raygen(cam_scal, x, y)
         t = tm_ref[:]
         hit = hm_ref[:]
+        if soft:
+            s_min = sm_ref[:]
+            t_min = tmn_ref[:]
+            beta_inv = 1.0 / cfg.coverage_beta
+            alpha_p = jnp.exp(
+                -jnp.maximum(s_min - cfg.min_dist, 0.0) * beta_inv
+            )
 
         def up(v):
             return jnp.broadcast_to(
@@ -218,74 +304,218 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
         gg = up(gg_ref[:]) * inv_s
         gb = up(gb_ref[:]) * inv_s
 
-        tid = ((ty * aa_pack) // MHL) * n_ftx + tx
+        tid = ((ty * aa_pack) // MHL) * n_flx + tx // CWL
 
         def do_tile():
+            # Implicit-term point factor (o + d*t on hit lanes) — both
+            # modes; soft shading positions use t_eff = where(hit, t,
+            # t_min) gated by the alpha live mask, mirroring shade_soft.
             th = t * hit
+            if soft:
+                t_eff = jnp.where(hit > 0.5, t, t_min)
+                live_f = jnp.where(alpha_p > 1e-4, 1.0, 0.0)
+                th_pos = t_eff * live_f
+                gt_fac = hit * live_f
+            else:
+                th_pos = th
+                gt_fac = hit
             px = ox + dx * th
             py = oy + dy * th
             pz = oz + dz * th
+            pxp = ox + dx * th_pos
+            pyp = oy + dy * th_pos
+            pzp = oz + dz * th_pos
             pts = [
-                (px + kx * eps, py + ky * eps, pz + kz * eps)
+                (pxp + kx * eps, pyp + ky * eps, pzp + kz * eps)
                 for (kx, ky, kz) in _TAPS
             ] + [(px, py, pz)]
+            if soft:
+                # Envelope (Danskin) point: the frozen closest approach.
+                pts.append((ox + dx * t_min, oy + dy * t_min,
+                            oz + dz * t_min))
+            far_tile = px * 0.0 + FAR
+            z0 = px * 0.0
 
-            # Pass 1: winner folds (value + argmin row) at the 5 points.
-            vals, wins = [], []
-            for pt in pts:
-                acc0 = px * 0.0 + FAR
-                win0 = jnp.zeros((TS, LANES), jnp.int32) - 1
+            # --- fold-step / leaf helpers ---------------------------------
+            def step3(acc, dv, kp, mode):
+                # fold_step of the forward compact evaluator with kp as an
+                # explicit (differentiable) input — jax.vjp of this is the
+                # per-item transpose (pallas_march._make_scene_eval_compact).
+                kk = jnp.maximum(kp, 1e-8)
+                is_sub = mode >= 2
+                is_smooth = (mode & 1) == 1
+                hard = jnp.where(
+                    is_sub, jnp.maximum(acc, -dv), jnp.minimum(acc, dv)
+                )
+                diff = jnp.where(is_sub, acc + dv, acc - dv)
+                h = jnp.maximum(kk - jnp.abs(diff), 0.0) / kk
+                corr = h * h * kk * 0.25
+                soft = jnp.where(is_sub, hard + corr, hard - corr)
+                return jnp.where(is_smooth, soft, hard)
 
-                def fold(acc_win, pt=pt):
-                    acc, win = acc_win
-                    for off, cidx, lt, rot in groups:
-                        def body(j, carry, _off=off, _lt=lt, _rot=rot):
-                            a, w = carry
-                            row = clf_ref[tid, _off + j]
-                            dv = _leaf_distance_tile(
-                                lp_ref, row, _lt, _rot, *pt
-                            )
-                            sel = dv < a
-                            return (
-                                jnp.minimum(a, dv),
-                                jnp.where(sel, row, w),
-                            )
+            def leaf_at(row, lt, rot, pt):
+                return _leaf_distance_tile(lp_ref, row, lt, rot, *pt)
 
-                        acc, win = jax.lax.fori_loop(
-                            0, ccf_ref[tid, cidx], body, (acc, win)
-                        )
-                    return acc, win
-
-                acc, win = fold((acc0, win0))
-                vals.append(acc)
-                wins.append(win)
-            win_pos = wins[4]
-
-            # Pass 2: fdot = grad_x(scene) . d at pos (winner-masked jvp).
-            fdot = px * 0.0
-            for off, cidx, lt, rot in groups:
-                def body2(j, fd, _off=off, _lt=lt, _rot=rot):
-                    row = clf_ref[tid, _off + j]
-                    _, dd = jax.jvp(
-                        lambda qx, qy, qz: _leaf_distance_tile(
-                            lp_ref, row, _lt, _rot, qx, qy, qz
-                        ),
-                        (px, py, pz),
-                        (dx, dy, dz),
-                    )
-                    return fd + jnp.where(win_pos == row, dd, 0.0)
-
-                fdot = jax.lax.fori_loop(
-                    0, ccf_ref[tid, cidx], body2, fdot
+            def item_leaf_g(g, e, pt):
+                types = g["types"]
+                row = e & 1023
+                if len(types) == 1:
+                    t0_, r0_ = types[0]
+                    return leaf_at(row, t0_, r0_, pt)
+                tsel = (e >> 10) & 7
+                return jax.lax.switch(
+                    tsel,
+                    [
+                        (lambda _t=tt, _ro=ro: leaf_at(row, _t, _ro, pt))
+                        for (tt, ro) in types
+                    ],
                 )
 
-            # Pass 3: shading cotangents from the scene-free chain.
+            def item_kp_mode(e):
+                kp = opp_ref[jnp.maximum((e >> 18) - 1, 0)]
+                return kp, (e >> 13) & 3
+
+            # --- pass 1: per-source values at the 5 points ----------------
+            def pool_fold(pt, want_color):
+                win0 = jnp.zeros((TS, LANES), jnp.int32) - 1
+                carry = (far_tile, win0)
+                if want_color:
+                    carry = carry + (z0 + ax_, z0 + ay_, z0 + az_, z0)
+                for off, cidx, lt, rot in groups:
+                    def body(j, c, _off=off, _lt=lt, _rot=rot,
+                             _wc=want_color):
+                        a, w = c[0], c[1]
+                        row = clf_ref[tid, _off + j]
+                        dv = leaf_at(row, _lt, _rot, pt)
+                        sel = dv < a
+                        out = (jnp.minimum(a, dv), jnp.where(sel, row, w))
+                        if _wc:
+                            fl = lp_ref[row, oc.LEAF_MAT_FLAG]
+                            mr = fl * lp_ref[row, oc.LEAF_ALBEDO] + (1.0 - fl) * ax_
+                            mg = fl * lp_ref[row, oc.LEAF_ALBEDO + 1] + (1.0 - fl) * ay_
+                            mb = fl * lp_ref[row, oc.LEAF_ALBEDO + 2] + (1.0 - fl) * az_
+                            out = out + (
+                                jnp.where(sel, mr, c[2]),
+                                jnp.where(sel, mg, c[3]),
+                                jnp.where(sel, mb, c[4]),
+                                jnp.where(sel, fl, c[5]),
+                            )
+                        return out
+
+                    carry = jax.lax.fori_loop(
+                        0, ccf_ref[tid, cidx], body, carry
+                    )
+                return carry
+
+            def chain_value(pt):
+                acc = far_tile
+                for gi in chain:
+                    g = gm[gi]
+                    if not g["ordered"]:
+                        def bodyf(j, a, _g=g):
+                            row = clf_ref[tid, _g["offset"] + j]
+                            return jnp.minimum(
+                                a,
+                                leaf_at(row, _g["ltype"], _g["rotated"], pt),
+                            )
+
+                        acc = jax.lax.fori_loop(
+                            0, ccf_ref[tid, g["count_idx"]], bodyf, acc
+                        )
+                    else:
+                        def bodyo(j, a, _g=g):
+                            e = clf_ref[tid, _g["offset"] + j]
+                            kp, mode = item_kp_mode(e)
+                            return step3(a, item_leaf_g(_g, e, pt), kp, mode)
+
+                        acc = jax.lax.fori_loop(
+                            0, ccf_ref[tid, g["count_idx"]], bodyo, acc
+                        )
+                return acc
+
+            def stream_value(gi, pt):
+                g = gm[gi]
+
+                def body(j, carry, _g=g):
+                    best, acc_seg, prev = carry
+                    e = clf_ref[tid, _g["offset"] + j]
+                    sid = (e >> 15) & 7
+                    new_seg = sid != prev
+                    best = jnp.where(
+                        new_seg, jnp.minimum(best, acc_seg), best
+                    )
+                    acc_seg = jnp.where(new_seg, far_tile, acc_seg)
+                    kp, mode = item_kp_mode(e)
+                    acc_seg = step3(acc_seg, item_leaf_g(_g, e, pt), kp, mode)
+                    return (best, acc_seg, sid)
+
+                best, acc_seg, _ = jax.lax.fori_loop(
+                    0, ccf_ref[tid, g["count_idx"]], body,
+                    (far_tile, far_tile, jnp.int32(-1)),
+                )
+                return jnp.minimum(best, acc_seg)
+
+            vals, wins, srcvals = [], [], []
+            matsv = None
+            for i, pt in enumerate(pts):
+                want_color = use_mats and i == 4
+                pc = pool_fold(pt, want_color)
+                acc, win = pc[0], pc[1]
+                if want_color:
+                    matsv = pc[2:6]
+                srcs = [acc]
+                if chain:
+                    srcs.append(chain_value(pt))
+                for gi in streams:
+                    srcs.append(stream_value(gi, pt))
+                d = srcs[0]
+                for v in srcs[1:]:
+                    d = jnp.minimum(d, v)
+                vals.append(d)
+                wins.append(win)
+                srcvals.append(srcs)
+            win_pos = wins[4]
+
+            def src_mask(i, sid_):
+                # Strict-< argmin in source order (pool, chain, streams):
+                # matches jnp.minimum's tie-to-first vjp convention as the
+                # forward composes the source mins left to right.
+                if n_src == 1:
+                    return 1.0
+                srcs = srcvals[i]
+                v = srcs[sid_]
+                m = None
+                for so, vo in enumerate(srcs):
+                    if so == sid_:
+                        continue
+                    cnd = (vo >= v) if so > sid_ else (vo > v)
+                    m = cnd if m is None else jnp.logical_and(m, cnd)
+                return jnp.where(m, 1.0, 0.0)
+
+            # --- pass 3: shading cotangents (scene-free chain) ------------
             def shade_small(inp):
-                f0, f1, f2, f3, tt, cam = inp
+                if soft:
+                    f0, f1, f2, f3, tt, sm, cam = inp
+                    mar, mag, mab = ax_, ay_, az_
+                elif use_mats:
+                    f0, f1, f2, f3, tt, mar, mag, mab, cam = inp
+                else:
+                    f0, f1, f2, f3, tt, cam = inp
+                    mar, mag, mab = ax_, ay_, az_
                 o1x, o1y, o1z, d1x, d1y, d1z = _raygen(cam, x, y)
-                q_x = o1x + d1x * tt * hit
-                q_y = o1y + d1y * tt * hit
-                q_z = o1z + d1z * tt * hit
+                if soft:
+                    alpha = jnp.exp(
+                        -jnp.maximum(sm - cfg.min_dist, 0.0) * beta_inv
+                    )
+                    te = jnp.where(hit > 0.5, tt, t_min)
+                    lv = alpha > 1e-4
+                    q_x = jnp.where(lv, o1x + d1x * te, o1x)
+                    q_y = jnp.where(lv, o1y + d1y * te, o1y)
+                    q_z = jnp.where(lv, o1z + d1z * te, o1z)
+                else:
+                    q_x = o1x + d1x * tt * hit
+                    q_y = o1y + d1y * tt * hit
+                    q_z = o1z + d1z * tt * hit
                 nx = f0 - f1 - f2 + f3
                 ny = -f0 - f1 + f2 + f3
                 nz = -f0 + f1 - f2 + f3
@@ -312,25 +542,38 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
                 fcr = (fb_r + cfg.floor_checker * parity) * on_floor
                 fcg = (fb_g + cfg.floor_checker * parity) * on_floor
                 fcb = (fb_b + cfg.floor_checker * parity) * on_floor
-                miss = 1.0 - hit
+                cover = alpha if soft else hit
+                miss = 1.0 - cover
                 cr = jnp.sqrt(
-                    jnp.maximum(hit * (ax_ * diff) + miss * fcr, 0.0) + 1e-12
+                    jnp.maximum(cover * (mar * diff) + miss * fcr, 0.0) + 1e-12
                 )
                 cg = jnp.sqrt(
-                    jnp.maximum(hit * (ay_ * diff) + miss * fcg, 0.0) + 1e-12
+                    jnp.maximum(cover * (mag * diff) + miss * fcg, 0.0) + 1e-12
                 )
                 cb = jnp.sqrt(
-                    jnp.maximum(hit * (az_ * diff) + miss * fcb, 0.0) + 1e-12
+                    jnp.maximum(cover * (mab * diff) + miss * fcb, 0.0) + 1e-12
                 )
                 return jnp.sum(cr * gr + cg * gg + cb * gb)
 
-            w0, w1, w2, w3, gt_shade, gcam_shade = jax.grad(shade_small)(
-                (vals[0], vals[1], vals[2], vals[3], t, cam_scal)
-            )
+            gs_shade = None
+            if soft:
+                gsh = jax.grad(shade_small)(
+                    (vals[0], vals[1], vals[2], vals[3], t, s_min, cam_scal)
+                )
+                w0, w1, w2, w3, gt_shade, gs_shade, gcam_shade = gsh
+            elif use_mats:
+                gsh = jax.grad(shade_small)(
+                    (vals[0], vals[1], vals[2], vals[3], t)
+                    + matsv[:3] + (cam_scal,)
+                )
+                w0, w1, w2, w3, gt_shade, gmr, gmg, gmb, gcam_shade = gsh
+            else:
+                w0, w1, w2, w3, gt_shade, gcam_shade = jax.grad(shade_small)(
+                    (vals[0], vals[1], vals[2], vals[3], t, cam_scal)
+                )
             wlist = [w0, w1, w2, w3]
 
-            # Pass 4a: tap cotangents -> per-leaf param grads + position
-            # cotangents (feeding t and the camera chain).
+            # --- one-hot accumulators -------------------------------------
             lane = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 1)
             rowi = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 0)
 
@@ -342,12 +585,185 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
                     )
                 accv[:] += acc
 
-            gt_extra = px * 0.0
-            go = [px * 0.0, px * 0.0, px * 0.0]
-            gd = [px * 0.0, px * 0.0, px * 0.0]
+            if has_ordered:
+                lane_o = jax.lax.broadcasted_iota(
+                    jnp.int32, (OPP_PAD, LANES), 1
+                )
+                rowi_o = jax.lax.broadcasted_iota(
+                    jnp.int32, (OPP_PAD, LANES), 0
+                )
 
-            # Taps-only loop (i < 4) to get gt_extra, then the implicit
-            # loop with w_pos. Two row sweeps keep the dataflow acyclic.
+                def accum_k(ki, gk):
+                    # ki = packed kidx+1; 0 = hard item (no op param).
+                    acc_opp[:] += jnp.where(
+                        jnp.logical_and(
+                            jnp.logical_and(rowi_o == ki - 1, lane_o == 0),
+                            ki > 0,
+                        ),
+                        gk,
+                        0.0,
+                    )
+
+            # --- ordered record + reverse sweep ---------------------------
+            def rec_free(gi, base, acc, pt):
+                g = gm[gi]
+
+                def body(j, a, _g=g, _b=base):
+                    hist[_b + j] = a
+                    row = clf_ref[tid, _g["offset"] + j]
+                    return jnp.minimum(
+                        a, leaf_at(row, _g["ltype"], _g["rotated"], pt)
+                    )
+
+                return jax.lax.fori_loop(
+                    0, ccf_ref[tid, g["count_idx"]], body, acc
+                )
+
+            def rec_ordered(gi, base, acc, pt):
+                g = gm[gi]
+
+                def body(j, a, _g=g, _b=base):
+                    hist[_b + j] = a
+                    e = clf_ref[tid, _g["offset"] + j]
+                    kp, mode = item_kp_mode(e)
+                    return step3(a, item_leaf_g(_g, e, pt), kp, mode)
+
+                return jax.lax.fori_loop(
+                    0, ccf_ref[tid, g["count_idx"]], body, acc
+                )
+
+            def rec_chain(pt):
+                acc = far_tile
+                for gi, base in zip(chain, chain_bases):
+                    acc = (
+                        rec_ordered if gm[gi]["ordered"] else rec_free
+                    )(gi, base, acc, pt)
+                return acc
+
+            def rec_stream(gi, pt):
+                """Replay a stream group recording per-item accumulators AND
+                the winning segment id per ray (min over segment folds)."""
+                g = gm[gi]
+                base = stream_base[gi]
+
+                def body(j, carry, _g=g, _b=base):
+                    best, bsid, acc_seg, prev = carry
+                    e = clf_ref[tid, _g["offset"] + j]
+                    sid = (e >> 15) & 7
+                    new_seg = sid != prev
+                    flip = jnp.logical_and(new_seg, acc_seg < best)
+                    best = jnp.where(flip, acc_seg, best)
+                    bsid = jnp.where(flip, prev, bsid)
+                    acc_seg = jnp.where(new_seg, far_tile, acc_seg)
+                    hist[_b + j] = acc_seg
+                    kp, mode = item_kp_mode(e)
+                    acc_seg = step3(acc_seg, item_leaf_g(_g, e, pt), kp, mode)
+                    return (best, bsid, acc_seg, sid)
+
+                best, bsid, acc_seg, last = jax.lax.fori_loop(
+                    0, ccf_ref[tid, g["count_idx"]], body,
+                    (
+                        far_tile,
+                        jnp.zeros((TS, LANES), jnp.int32) - 1,
+                        far_tile,
+                        jnp.int32(-1),
+                    ),
+                )
+                return jnp.where(acc_seg < best, last, bsid)
+
+            def sweep_group(gi, base, pt, cot0, accum, bsid=None):
+                """Reverse sweep of one group's recorded fold: carries the
+                running accumulator-cotangent, pushes each item's leaf
+                cotangent through the typed leaf vjp, accumulates param/k
+                grads (when `accum`), and returns (cot_in, sum gq)."""
+                g = gm[gi]
+                cnt = ccf_ref[tid, g["count_idx"]]
+                ordered = g["ordered"]
+                free_lt = None if ordered else (g["ltype"], g["rotated"])
+
+                def body(jj, carry, _g=g, _b=base, _cnt=cnt):
+                    cot, sgx, sgy, sgz = carry
+                    j = _cnt - 1 - jj
+                    e = clf_ref[tid, _g["offset"] + j]
+                    acc_j = hist[_b + j]
+                    if ordered:
+                        kp, mode = item_kp_mode(e)
+                        row = e & 1023
+                    else:
+                        kp = jnp.float32(0.0)
+                        mode = 0
+                        row = e
+                    if bsid is None:
+                        cot_here = cot
+                    else:
+                        msk = ((e >> 15) & 7) == bsid
+                        cot_here = jnp.where(msk, cot, 0.0)
+
+                    def run_type(lt, rot):
+                        params = tuple(lp_ref[row, c] for c in range(NC))
+
+                        def f(prm, qx, qy, qz):
+                            return _leaf_distance_tile(
+                                _OneRow(prm), 0, lt, rot, qx, qy, qz
+                            )
+
+                        dv, vjp_f = jax.vjp(f, params, *pt)
+                        _, fold_vjp = jax.vjp(
+                            lambda a_, d_, k_: step3(a_, d_, k_, mode),
+                            acc_j, dv, kp,
+                        )
+                        ga, gdv, gk = fold_vjp(cot_here)
+                        gprm, gqx, gqy, gqz = vjp_f(gdv)
+                        return (ga, gqx, gqy, gqz) + tuple(gprm) + (gk,)
+
+                    if free_lt is not None:
+                        out = run_type(*free_lt)
+                    else:
+                        types = _g["types"]
+                        if len(types) == 1:
+                            out = run_type(*types[0])
+                        else:
+                            tsel = (e >> 10) & 7
+                            out = jax.lax.switch(
+                                tsel,
+                                [
+                                    (lambda _t=tt, _ro=ro: run_type(_t, _ro))
+                                    for (tt, ro) in types
+                                ],
+                            )
+                    ga, gqx, gqy, gqz = out[0], out[1], out[2], out[3]
+                    g16 = out[4 : 4 + NC]
+                    gk = out[4 + NC]
+                    if accum:
+                        accum_row(row, g16)
+                        if ordered:
+                            accum_k(e >> 18, gk)
+                    if bsid is None:
+                        cot2 = ga
+                    else:
+                        cot2 = jnp.where(msk, ga, cot)
+                    return (cot2, sgx + gqx, sgy + gqy, sgz + gqz)
+
+                cot, sgx, sgy, sgz = jax.lax.fori_loop(
+                    0, cnt, body, (cot0, z0, z0, z0)
+                )
+                return cot, (sgx, sgy, sgz)
+
+            def sweep_chain(pt, cot0, accum):
+                cot = cot0
+                sg = [z0, z0, z0]
+                for gi, base in reversed(list(zip(chain, chain_bases))):
+                    cot, gq = sweep_group(gi, base, pt, cot, accum)
+                    sg = [a + b for a, b in zip(sg, gq)]
+                return sg
+
+            # --- pass 4a: tap cotangents ----------------------------------
+            gt_extra = z0
+            go = [z0, z0, z0]
+            gd = [z0, z0, z0]
+            masks0 = [src_mask(i, 0) for i in range(5)]
+
+            # Pool: winner-masked single-leaf pushes, all 4 taps per row.
             for off, cidx, lt, rot in groups:
                 def body_tap(j, carry, _off=off, _lt=lt, _rot=rot):
                     gt_e, gox, goy, goz, gdx, gdy, gdz = carry
@@ -363,17 +779,23 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
 
                     g16_tot = [jnp.float32(0.0)] * oc.LEAF_PARAM_WIDTH
                     for i in range(4):
-                        cot = wlist[i] * jnp.where(wins[i] == row, 1.0, 0.0)
+                        cot = (
+                            wlist[i]
+                            * jnp.where(wins[i] == row, 1.0, 0.0)
+                            * masks0[i]
+                        )
                         _, vjp_f = jax.vjp(f, params, *pts[i])
                         gprm, gqx, gqy, gqz = vjp_f(cot)
                         g16_tot = [a + b for a, b in zip(g16_tot, gprm)]
-                        gt_e = gt_e + (gqx * dx + gqy * dy + gqz * dz) * hit
+                        gt_e = gt_e + (
+                            gqx * dx + gqy * dy + gqz * dz
+                        ) * gt_fac
                         gox = gox + gqx
                         goy = goy + gqy
                         goz = goz + gqz
-                        gdx = gdx + gqx * th
-                        gdy = gdy + gqy * th
-                        gdz = gdz + gqz * th
+                        gdx = gdx + gqx * th_pos
+                        gdy = gdy + gqy * th_pos
+                        gdz = gdz + gqz * th_pos
                     accum_row(row, g16_tot)
                     return (gt_e, gox, goy, goz, gdx, gdy, gdz)
 
@@ -383,6 +805,67 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
                 )
                 gt_extra, go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
 
+            # Ordered sources at the taps: record + one accumulating sweep.
+            if has_ordered:
+                for i in range(4):
+                    if chain:
+                        rec_chain(pts[i])
+                        m = src_mask(i, src_ids["chain"])
+                        gq = sweep_chain(pts[i], wlist[i] * m, True)
+                        gt_extra = gt_extra + (
+                            gq[0] * dx + gq[1] * dy + gq[2] * dz
+                        ) * gt_fac
+                        for c3 in range(3):
+                            go[c3] = go[c3] + gq[c3]
+                            gd[c3] = gd[c3] + gq[c3] * th_pos
+                    for gi in streams:
+                        bsid = rec_stream(gi, pts[i])
+                        m = src_mask(i, stream_src[gi])
+                        _, gq = sweep_group(
+                            gi, stream_base[gi], pts[i], wlist[i] * m,
+                            True, bsid=bsid,
+                        )
+                        gt_extra = gt_extra + (
+                            gq[0] * dx + gq[1] * dy + gq[2] * dz
+                        ) * gt_fac
+                        for c3 in range(3):
+                            go[c3] = go[c3] + gq[c3]
+                            gd[c3] = gd[c3] + gq[c3] * th_pos
+
+            # --- fdot at the hit point ------------------------------------
+            fdot = z0
+            for off, cidx, lt, rot in groups:
+                def body2(j, fd, _off=off, _lt=lt, _rot=rot):
+                    row = clf_ref[tid, _off + j]
+                    _, dd = jax.jvp(
+                        lambda qx, qy, qz: _leaf_distance_tile(
+                            lp_ref, row, _lt, _rot, qx, qy, qz
+                        ),
+                        (px, py, pz),
+                        (dx, dy, dz),
+                    )
+                    return fd + jnp.where(win_pos == row, dd, 0.0) * masks0[4]
+
+                fdot = jax.lax.fori_loop(0, ccf_ref[tid, cidx], body2, fdot)
+
+            bsid_hit = {}
+            if has_ordered:
+                # Record the hit point ONCE (partitioned history), sweep for
+                # fdot now and for the parameter chain after w_pos is known.
+                if chain:
+                    rec_chain(pts[4])
+                    m = src_mask(4, src_ids["chain"])
+                    gq = sweep_chain(pts[4], m, False)
+                    fdot = fdot + gq[0] * dx + gq[1] * dy + gq[2] * dz
+                for gi in streams:
+                    bsid_hit[gi] = rec_stream(gi, pts[4])
+                    m = src_mask(4, stream_src[gi])
+                    _, gq = sweep_group(
+                        gi, stream_base[gi], pts[4], m, False,
+                        bsid=bsid_hit[gi],
+                    )
+                    fdot = fdot + gq[0] * dx + gq[1] * dy + gq[2] * dz
+
             gt_total = gt_shade + gt_extra
             c = cfg.grad_denom_clamp
             denom = jnp.where(
@@ -390,6 +873,7 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
             )
             w_pos = -gt_total * hit / denom
 
+            # --- pass 4b: hit-point parameter chain -----------------------
             for off, cidx, lt, rot in groups:
                 def body_pos(j, carry, _off=off, _lt=lt, _rot=rot):
                     gox, goy, goz, gdx, gdy, gdz = carry
@@ -403,10 +887,35 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
                             _OneRow(prm), 0, _lt, _rot, qx, qy, qz
                         )
 
-                    cot = w_pos * jnp.where(win_pos == row, 1.0, 0.0)
+                    cot = (
+                        w_pos
+                        * jnp.where(win_pos == row, 1.0, 0.0)
+                        * masks0[4]
+                    )
                     _, vjp_f = jax.vjp(f, params, px, py, pz)
                     gprm, gqx, gqy, gqz = vjp_f(cot)
-                    accum_row(row, list(gprm))
+                    g16 = list(gprm)
+                    if use_mats:
+                        # Winner-routed albedo/flag gradients: the color of
+                        # a hard-union hit is the argmin leaf's mix
+                        # flag*albedo + (1-flag)*default, so the shading
+                        # cotangents (gmr/gmg/gmb) land exactly on the
+                        # winner's material columns (d(color)/d(geometry)
+                        # is zero a.e. — matches oracle_grad).
+                        mskw = jnp.where(win_pos == row, 1.0, 0.0)
+                        fl = lp_ref[row, oc.LEAF_MAT_FLAG]
+                        sr = jnp.sum(gmr * mskw)
+                        sg_ = jnp.sum(gmg * mskw)
+                        sb = jnp.sum(gmb * mskw)
+                        g16[oc.LEAF_ALBEDO] += fl * sr
+                        g16[oc.LEAF_ALBEDO + 1] += fl * sg_
+                        g16[oc.LEAF_ALBEDO + 2] += fl * sb
+                        g16[oc.LEAF_MAT_FLAG] += (
+                            (lp_ref[row, oc.LEAF_ALBEDO] - ax_) * sr
+                            + (lp_ref[row, oc.LEAF_ALBEDO + 1] - ay_) * sg_
+                            + (lp_ref[row, oc.LEAF_ALBEDO + 2] - az_) * sb
+                        )
+                    accum_row(row, g16)
                     return (
                         gox + gqx,
                         goy + gqy,
@@ -422,6 +931,87 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
                 )
                 go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
 
+            if has_ordered:
+                # Ordered sources reuse the hit-point history recorded for
+                # the fdot sweep.
+                if chain:
+                    m = src_mask(4, src_ids["chain"])
+                    gq = sweep_chain(pts[4], w_pos * m, True)
+                    for c3 in range(3):
+                        go[c3] = go[c3] + gq[c3]
+                        gd[c3] = gd[c3] + gq[c3] * th
+                for gi in streams:
+                    m = src_mask(4, stream_src[gi])
+                    _, gq = sweep_group(
+                        gi, stream_base[gi], pts[4], w_pos * m, True,
+                        bsid=bsid_hit[gi],
+                    )
+                    for c3 in range(3):
+                        go[c3] = go[c3] + gq[c3]
+                        gd[c3] = gd[c3] + gq[c3] * th
+
+            if soft:
+                # Envelope (Danskin) term: dL/dtheta += gs * F_theta at the
+                # FROZEN closest-approach point pts[5] (mirrors
+                # make_march_soft's bwd); the camera chain flows through
+                # o + d*t_min, so gd picks up a t_min factor.
+                m_env0 = src_mask(5, 0)
+                win_env = wins[5]
+                for off, cidx, lt, rot in groups:
+                    def body_env(j, carry, _off=off, _lt=lt, _rot=rot):
+                        gox, goy, goz, gdx, gdy, gdz = carry
+                        row = clf_ref[tid, _off + j]
+                        params = tuple(
+                            lp_ref[row, c]
+                            for c in range(oc.LEAF_PARAM_WIDTH)
+                        )
+
+                        def f(prm, qx, qy, qz):
+                            return _leaf_distance_tile(
+                                _OneRow(prm), 0, _lt, _rot, qx, qy, qz
+                            )
+
+                        cot = (
+                            gs_shade
+                            * jnp.where(win_env == row, 1.0, 0.0)
+                            * m_env0
+                        )
+                        _, vjp_f = jax.vjp(f, params, *pts[5])
+                        gprm, gqx, gqy, gqz = vjp_f(cot)
+                        accum_row(row, list(gprm))
+                        return (
+                            gox + gqx,
+                            goy + gqy,
+                            goz + gqz,
+                            gdx + gqx * t_min,
+                            gdy + gqy * t_min,
+                            gdz + gqz * t_min,
+                        )
+
+                    carry = (go[0], go[1], go[2], gd[0], gd[1], gd[2])
+                    carry = jax.lax.fori_loop(
+                        0, ccf_ref[tid, cidx], body_env, carry
+                    )
+                    go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
+                if has_ordered:
+                    if chain:
+                        rec_chain(pts[5])
+                        m = src_mask(5, src_ids["chain"])
+                        gq = sweep_chain(pts[5], gs_shade * m, True)
+                        for c3 in range(3):
+                            go[c3] = go[c3] + gq[c3]
+                            gd[c3] = gd[c3] + gq[c3] * t_min
+                    for gi in streams:
+                        bsid_e = rec_stream(gi, pts[5])
+                        m = src_mask(5, stream_src[gi])
+                        _, gq = sweep_group(
+                            gi, stream_base[gi], pts[5], gs_shade * m,
+                            True, bsid=bsid_e,
+                        )
+                        for c3 in range(3):
+                            go[c3] = go[c3] + gq[c3]
+                            gd[c3] = gd[c3] + gq[c3] * t_min
+
             # Camera chain for the scene-side cotangents: one raygen vjp.
             _, rg_vjp = jax.vjp(lambda cam: _raygen(cam, x, y), cam_scal)
             (gcam_extra,) = rg_vjp(
@@ -430,17 +1020,31 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
             for j in range(7):
                 acc_cam[j] += gcam_shade[j] + gcam_extra[j]
 
-        @pl.when(jnp.max(hit) > 0.0)
+        if soft:
+            # Beta-scaled coverage gate, same rationale as the legacy soft
+            # kernel: a skipped tile's dropped gradient is bounded by
+            # alpha/beta <= 1e-4 per lane.
+            _sg = 1e-4 * min(1.0, float(cfg.coverage_beta))
+            any_work = jnp.logical_or(
+                jnp.max(hit) > 0.0, jnp.max(alpha_p) > _sg
+            )
+        else:
+            any_work = jnp.max(hit) > 0.0
+
+        @pl.when(any_work)
         def _():
             do_tile()
 
         @pl.when(step == n_pty * n_tx - 1)
         def _():
             gleaf_ref[:] = accv[:]
+            gopp_ref[:] = acc_opp[:]
             for j in range(7):
                 gcam_ref[j] = acc_cam[j]
 
-    def run(lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb):
+    def run(lp, opp, cam_vec, clf, ccf, residuals, gr, gg, gb):
+        # residuals = (t, hit) or (t, hit, s_min, t_min) in soft mode.
+        n_res = len(residuals)
         px_spec = pl.BlockSpec(
             (aa_pack, LANES), lambda ty, tx, *_: (ty, tx),
             memory_space=pltpu.VMEM,
@@ -449,43 +1053,53 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, n_ftx,
             (TS, LANES), lambda ty, tx, *_: (ty, tx),
             memory_space=pltpu.VMEM,
         )
+        scratch = [
+            pltpu.VMEM((NLP, LANES), jnp.float32),
+            pltpu.VMEM((OPP_PAD, LANES), jnp.float32),
+            pltpu.SMEM((7,), jnp.float32),
+        ]
+        if has_ordered:
+            scratch.append(pltpu.VMEM((HIST, TS, LANES), jnp.float32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(n_pty, n_tx),
-            in_specs=[th_spec, th_spec, px_spec, px_spec, px_spec],
+            in_specs=[th_spec] * n_res + [px_spec, px_spec, px_spec],
             out_specs=[
                 pl.BlockSpec(
                     (NLP, LANES), lambda ty, tx, *_: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                pl.BlockSpec(
+                    (OPP_PAD, LANES), lambda ty, tx, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((NLP, LANES), jnp.float32),
-                pltpu.SMEM((7,), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         )
-        gleaf, gcam = pl.pallas_call(
+        gleaf, gopp, gcam = pl.pallas_call(
             bwd_kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NLP, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((OPP_PAD, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((7,), jnp.float32),
             ],
             interpret=interpret,
         )(
             jnp.asarray(lp, jnp.float32),
+            jnp.asarray(opp, jnp.float32),
             jnp.asarray(cam_vec, jnp.float32),
             clf,
             ccf,
-            t_all,
-            hit_all,
+            *residuals,
             gr,
             gg,
             gb,
         )
         d_lp = gleaf[: spec.n_leaves, : oc.LEAF_PARAM_WIDTH]
-        return d_lp, gcam
+        d_opp = gopp[: spec.n_instr, 0]
+        return d_lp, d_opp, gcam
 
     return run
 
@@ -537,16 +1151,39 @@ def make_fused_render_vjp(
     from .pallas_march import build_compact_plan
 
     _plan = build_compact_plan(spec) if cfg.leaf_cull else None
-    compact_bwd = (
-        _plan is not None
-        and _plan["seg1"] is None
-        and not _plan["stream"]
-        and not _plan["residual_ops"]
-        and not spec.has_materials
-        and 128 % S_ == 0
-        and aa_packed is not False
-        and not soft
-    )
+    # Why the O(active) backward was skipped, for observability (surfaces
+    # through make_fit_step/fit_scene — a smooth or painted scene silently
+    # falling to the O(n_leaves) legacy kernel is a ~10x training cliff the
+    # user should see, round-4 verdict). Since round 5 the compact backward
+    # covers the full segmented plan class (pool + seg1 chain + streams,
+    # with winner-routed materials on pool-only plans) — see
+    # _make_compact_bwd; the remaining exclusions are listed here.
+    # History budget: the ordered-fold replay stores one (128, LANES) f32
+    # plane per ordered item (compact_bwd_history_len) — 64 items = 4 MB of
+    # VMEM scratch, a safe fraction of the 16 MB core budget next to the
+    # kernel's own tiles.
+    _HIST_CAP = 64
+    compact_bwd_reason = None
+    if soft and spec.has_materials:
+        compact_bwd_reason = "painted materials in soft mode"
+    elif not cfg.leaf_cull:
+        compact_bwd_reason = "leaf_cull disabled"
+    elif _plan is None:
+        compact_bwd_reason = "scene has no compact plan (not foldable)"
+    elif _plan["residual_ops"]:
+        compact_bwd_reason = "plan has residual (unrolled) subtrees"
+    elif spec.has_materials and (
+        _plan["seg1"] is not None or _plan["stream"]
+    ):
+        compact_bwd_reason = "painted materials on smooth/ordered segments"
+    elif compact_bwd_history_len(_plan) > _HIST_CAP:
+        compact_bwd_reason = (
+            f"ordered fold history exceeds the VMEM budget ({_HIST_CAP})"
+        )
+    elif 128 % S_ != 0 or aa_packed is False:
+        compact_bwd_reason = "AA-packed layout unavailable"
+    compact_bwd = compact_bwd_reason is None
+    aa_packed_arg = aa_packed  # caller's request, before compact forcing
     if compact_bwd:
         aa_packed = True
     # AA-packed layout (see ops.pallas_prepass): every (128/S)-pixel-row
@@ -598,13 +1235,32 @@ def make_fused_render_vjp(
     )
     if compact_bwd and fwd_render.compact_info is None:
         # The forward fell back (SMEM list-budget floor): no lists exist
-        # for the backward either — use the legacy unrolled kernel.
+        # for the backward either — use the legacy unrolled kernel. The
+        # compact path forced aa_packed=True above, but the legacy kernel
+        # holds the whole unrolled transpose in VMEM and its budget rule
+        # may require the unpacked layout (round-4 advisor finding):
+        # re-derive aa_packed and rebuild the forward to match.
         compact_bwd = False
+        compact_bwd_reason = "forward fell back (SMEM list-budget floor)"
+        legacy_packed = (
+            aa_packed_arg
+            if aa_packed_arg is not None
+            else (128 % S_ == 0) and budget >= 128
+        )
+        if legacy_packed != aa_packed:
+            aa_packed = legacy_packed
+            fwd_render = make_pallas_image_render_aa(
+                spec, cfg, width, height, interpret=interpret,
+                bm_coarse=64 if not interpret else 8, bm_fine=bm,
+                prepass_block=prepass_block, band_rows=band_rows,
+                aa_packed=aa_packed, no_prepass=soft, soft=soft,
+            )
     if compact_bwd:
         _info = fwd_render.compact_info
         _compact_run = _make_compact_bwd(
             spec, cfg, width, height, rows_out, _info["plan"],
-            _info["MHL"], _info["n_ftx"], interpret,
+            _info["MHL"], _info["CWL"], _info["n_flx"], interpret,
+            soft=soft,
         )
 
     def _scene_tile(rows_view, opp, px, py, pz, cull=None):
@@ -960,13 +1616,16 @@ def make_fused_render_vjp(
 
             return jax.tree_util.tree_leaves(jax.grad(floor_loss)(scal))
 
-        # Soft gate at the shading LIVE threshold (alpha > 1e-4, the
-        # same cut shade_soft applies to positions): tiles below it carry
-        # only sub-1e-4-scale coverage gradients — under the f32 gradient
-        # noise floor — and would otherwise fire on the entire subnormal
-        # halo of the scene.
+        # Soft gate, scaled by beta: a skipped tile's dropped coverage
+        # gradient is d(alpha)/d(s_min) = alpha/beta per lane, so gating on
+        # alpha alone under-weights small-beta configs (round-4 advisor
+        # finding). Threshold alpha > 1e-4 * min(1, beta) bounds the
+        # dropped per-lane gradient magnitude by 1e-4 — the f32 noise
+        # floor of the accumulated sums — for every beta, while still
+        # skipping the subnormal alpha halo of the scene.
+        _soft_gate = 1e-4 * min(1.0, float(cfg.coverage_beta))
         any_work = (
-            jnp.logical_or(jnp.max(hit) > 0.0, jnp.max(alpha_p) > 1e-4)
+            jnp.logical_or(jnp.max(hit) > 0.0, jnp.max(alpha_p) > _soft_gate)
             if soft
             else jnp.max(hit) > 0.0
         )
@@ -995,12 +1654,10 @@ def make_fused_render_vjp(
         if compact_bwd:
             arrays = _arrays_from(lp, opp)
             clf, ccf = fwd_render.fine_lists(arrays, cam_vec)
-            d_lp, gcam = _compact_run(
-                lp, cam_vec, clf, ccf, t_all, hit_all, gr, gg, gb
+            d_lp, d_opp, gcam = _compact_run(
+                lp, opp, cam_vec, clf, ccf, tuple(residuals), gr, gg, gb
             )
-            # Pure hard-union plans carry no op params (grads identically
-            # zero); the padding cam slot stays zero.
-            d_opp = jnp.zeros((spec.n_instr,), jnp.float32)
+            # The padding cam slot (band row offset) stays zero.
             d_cam = jnp.concatenate([gcam, jnp.zeros(1, jnp.float32)])
             return d_lp, d_opp, d_cam
 
@@ -1112,6 +1769,15 @@ def make_fused_render_vjp(
             jnp.asarray(cam_vec, jnp.float32),
         )
 
-    # Introspection: did this build take the O(active) backward?
+    # Introspection: did this build take the O(active) backward, and if
+    # not, why? (make_fit_step surfaces this — see backward_info there.)
     render.compact_bwd = compact_bwd
+    render.backward_info = {
+        "kind": "pallas_compact" if compact_bwd else "pallas_legacy_unrolled",
+        "compact": compact_bwd,
+        "reason": compact_bwd_reason,
+        "aa_packed": bool(aa_packed),
+        "bm": bm,
+        "soft": soft,
+    }
     return render

@@ -554,6 +554,7 @@ def make_pallas_image_render_aa(
     no_prepass: bool = False,
     aa_packed: bool = False,
     soft: bool = False,
+    march_only: bool = False,
     _dbg_skip_taps: bool = False,
     _dbg_skip_march: bool = False,
 ):
@@ -603,6 +604,16 @@ def make_pallas_image_render_aa(
     conservative-cone argument); AA samples share the coarse march.
     """
     NI = max(0, int(n_intervals))
+    if march_only:
+        # March-only mode: the fine pass writes each AA sample's converged
+        # (t, hit) and SKIPS shading entirely — the fast path for custom
+        # losses / non-image consumers of raw march results, on the same
+        # 2-D packed tiling + prepass + compact machinery as the fused
+        # renderer (the flat-layout make_pallas_image_march never got that
+        # scheduling and runs ~3x slower — round-4 verdict). Packed layout
+        # only, and exclusive of soft mode (which has its own residuals).
+        if not aa_packed or soft:
+            raise ValueError("march_only requires aa_packed=True, soft=False")
     if NI and prepass_chain:
         raise ValueError("prepass_chain is a legacy-prepass feature")
     if no_prepass and (NI or prepass_chain):
@@ -751,6 +762,7 @@ def make_pallas_image_render_aa(
         330 * 1024 if _n_fine_tiles <= 2048 else 96 * 1024
     )
     CLG = 1  # coarse-kernel list tile = CLG coarse grid rows
+    CLW = 1  # ... and CLW coarse grid columns
     # Fine-list super-tile height in PIXEL rows. Floor = the fine kernel's
     # tile height (bm_fine pixel rows unpacked, aa_pack packed), so every
     # kernel tile lies inside exactly ONE list super-tile — the kernels
@@ -760,42 +772,67 @@ def make_pallas_image_render_aa(
     # heights here are powers of two, so the max() stays a multiple of the
     # tile height and doublings preserve that.
     MHL = max(MH, aa_pack) if aa_packed else max(MH, bm_fine)
+    # Fine-list super-tile WIDTH in fine-grid columns (LANES-pixel units).
+    # Round-5 addition: lists also coarsen in x, which is what keeps
+    # ~1024-leaf scenes on the compact path — with row-only coarsening the
+    # one-row floor is n_ftx * n_leaves words (124 KB at 4K/256 leaves,
+    # 500 KB at 1024) and the builder was forced into the gated-O(L)
+    # fallback. Tiles stay rectangles of whole kernel tiles, so the
+    # conservativeness argument is unchanged (a bigger tile's cone
+    # contains its sub-tiles' cones).
+    CWL = 1
     _fine_rows_total = Hp_pack if aa_packed else Hp
 
     _list_w = (plan["n_items"] + plan["n_counts"]) if compact else 0
 
-    def _list_bytes(clg, mhl):
+    def _list_bytes(clg, clw, mhl, cwl):
         nc = (hb_p + bm_coarse * clg - 1) // (bm_coarse * clg)
+        ncx = (n_ctx + clw - 1) // clw
         nf = (_fine_rows_total + mhl - 1) // mhl
-        return (nc * n_ctx * _list_w * 4,
-                nf * n_ftx * _list_w * 4)
+        nfx = (n_ftx + cwl - 1) // cwl
+        return (nc * ncx * _list_w * 4, nf * nfx * _list_w * 4)
 
     if compact:
-        cb, fb = _list_bytes(CLG, MHL)
+        cb, fb = _list_bytes(CLG, CLW, MHL, CWL)
         while cb + fb > _LIST_SMEM_BUDGET:
             # Prefer coarsening the coarse-kernel list (its cones are
             # blockier anyway, and the fine kernel dominates frame time);
             # only coarsen the fine list once the coarse one is 4x
-            # smaller. Measured at 1080p/64 leaves: keeping the fine list
-            # at MH granularity is worth ~2 ms/frame; at 256 leaves the
-            # stronger coarse bias is what keeps MHL at 64 rows inside
-            # the SMEM ceiling.
-            can_c = bm_coarse * CLG < hb_p  # coarse grid still > 1 list row
-            can_f = MHL < _fine_rows_total  # fine grid still > 1 list row
-            if not (can_c or can_f):
+            # smaller. Within a list, coarsen the dimension that keeps the
+            # super-tile closer to square in PIXELS (narrow tall tiles and
+            # wide flat tiles both widen the cull cone more than square
+            # ones for the same area).
+            can_cy = bm_coarse * CLG < hb_p
+            can_cx = CLW < n_ctx
+            can_fy = MHL < _fine_rows_total
+            can_fx = CWL < n_ftx
+            if not (can_cy or can_cx or can_fy or can_fx):
                 # Even one-list-per-grid floors exceed the SMEM budget
                 # (list width is n_leaves and cannot shrink): fall back to
                 # the gated O(L) evaluator instead of looping forever.
                 compact = False
                 scene_compact = None
                 break
-            if can_c and (4 * cb >= fb or not can_f):
-                CLG *= 2
+            if (can_cy or can_cx) and (4 * cb >= fb or not (can_fy or can_fx)):
+                # Coarse list: pixel tile is (bm_coarse*bs*CLG) x
+                # (LANES*bs*CLW).
+                if can_cy and (
+                    bm_coarse * CLG <= LANES * CLW or not can_cx
+                ):
+                    CLG *= 2
+                else:
+                    CLW *= 2
             else:
-                MHL *= 2
-            cb, fb = _list_bytes(CLG, MHL)
+                # Fine list: pixel tile is MHL x (LANES*CWL).
+                if can_fy and (MHL <= LANES * CWL or not can_fx):
+                    MHL *= 2
+                else:
+                    CWL *= 2
+            cb, fb = _list_bytes(CLG, CLW, MHL, CWL)
     n_clty = (hb_p + bm_coarse * CLG - 1) // (bm_coarse * CLG)
+    n_clx = (n_ctx + CLW - 1) // CLW
     n_flty = (_fine_rows_total + MHL - 1) // MHL
+    n_flx = (n_ftx + CWL - 1) // CWL
 
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
@@ -834,7 +871,7 @@ def make_pallas_image_render_aa(
             def scene(px, py, pz):
                 return scene_compact(
                     lp_ref, opp_ref, clc_ref, ccc_ref,
-                    (ty // CLG) * n_ctx + tx, px, py, pz,
+                    (ty // CLG) * n_clx + tx // CLW, px, py, pz,
                 )
         else:
             def scene(px, py, pz):
@@ -982,7 +1019,7 @@ def make_pallas_image_render_aa(
             def scene(px, py, pz):
                 return scene_compact(
                     lp_ref, opp_ref, clf_ref, ccf_ref,
-                    ((ty * bm_fine) // MHL) * n_ftx + tx, px, py, pz,
+                    ((ty * bm_fine) // MHL) * n_flx + tx // CWL, px, py, pz,
                 )
         else:
             def scene(px, py, pz):
@@ -1196,7 +1233,7 @@ def make_pallas_image_render_aa(
         if not cfg.leaf_cull:
             dummy = jnp.zeros((1, 1), jnp.int32)
             return dummy, dummy
-        bounds = leaf_bound_spheres(spec, arrays, cfg)
+        bounds = leaf_bound_spheres(spec, arrays, cfg, soft=soft)
         # The coarse kernel marches one cone (half-angle omega) per BxB
         # pixel block; its tile cone = corner angle + omega so it contains
         # every block cone probed by the near test.
@@ -1221,20 +1258,20 @@ def make_pallas_image_render_aa(
     def _fine_lists(arrays: TapeArrays, cam_vec):
         """Per-tile compacted fine-grid lists (the backward kernel streams
         these with the same MHL super-tile indexing as the fine kernel)."""
-        bounds = leaf_bound_spheres(spec, arrays, cfg)
+        bounds = leaf_bound_spheres(spec, arrays, cfg, soft=soft)
         mask_fl = tile_leaf_masks(
-            bounds, cam_vec, cfg, width, height, n_flty, n_ftx,
-            float(MHL), float(LANES),
+            bounds, cam_vec, cfg, width, height, n_flty, n_flx,
+            float(MHL), float(LANES * CWL),
         )
         return compact_plan_rows(spec, plan, mask_fl)
 
     def _scene_args(arrays: TapeArrays, cam_vec):
         mask_c, mask_f = _cull_masks(arrays, cam_vec)
         if compact:
-            bounds = leaf_bound_spheres(spec, arrays, cfg)
+            bounds = leaf_bound_spheres(spec, arrays, cfg, soft=soft)
             mask_cl = tile_leaf_masks(
-                bounds, cam_vec, cfg, width, height, n_clty, n_ctx,
-                float(bm_coarse * bs * CLG), float(LANES * bs),
+                bounds, cam_vec, cfg, width, height, n_clty, n_clx,
+                float(bm_coarse * bs * CLG), float(LANES * bs * CLW),
                 extra_angle=omega,
             )
             clc, ccc = compact_plan_rows(spec, plan, mask_cl)
@@ -1414,8 +1451,12 @@ def make_pallas_image_render_aa(
         *rest, emit_th=False,
     ):
         pre_refs = rest[:n_pre]
-        r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
-        if emit_th:
+        if march_only:
+            tm_ref, hm_ref, *scratch = rest[n_pre:]
+            r_ref = g_ref = b_ref = None
+        else:
+            r_ref, g_ref, b_ref, *scratch = rest[n_pre:]
+        if emit_th and not march_only:
             # Residual planes for the fused VJP: per-ray (t, hit) in the
             # SAME packed strip layout, block (TS, LANES) at (ty, tx).
             # Soft mode adds (s_min, t_min) for the envelope term.
@@ -1458,7 +1499,7 @@ def make_pallas_image_render_aa(
             def scene(px, py_, pz):
                 return scene_compact(
                     lp_ref, opp_ref, clf_ref, ccf_ref,
-                    ((ty * aa_pack) // MHL) * n_ftx + tx, px, py_, pz,
+                    ((ty * aa_pack) // MHL) * n_flx + tx // CWL, px, py_, pz,
                 )
         else:
             def scene(px, py_, pz):
@@ -1493,6 +1534,28 @@ def make_pallas_image_render_aa(
             )
 
         any_near = jnp.max(live0) > 0.0
+
+        if march_only:
+            # Write each sample's converged (t, hit) and stop: no normals,
+            # no materials, no floor — the raw-march consumer's fast path.
+            def do_march():
+                if NI:
+                    return _fine_march_interval_tile(
+                        scene, ox, oy, oz, dx, dy, dz, starts, ends, live0,
+                        t_cap, cfg,
+                    )
+                return _fine_march_tile(
+                    scene, ox, oy, oz, dx, dy, dz, t0, live0, t_cap, cfg
+                )
+
+            def no_march():
+                z = dx * 0.0
+                return z, z
+
+            t_m, hitm = jax.lax.cond(any_near, do_march, no_march)
+            tm_ref[:] = t_m
+            hm_ref[:] = hitm
+            return
 
         def do_surface():
             if NI:
@@ -1664,6 +1727,37 @@ def make_pallas_image_render_aa(
             lambda ty, tx, *_: (ty, tx),
             memory_space=pltpu.VMEM,
         )
+        if march_only:
+            th_blk = pl.BlockSpec(
+                (TS, LANES),
+                lambda ty, tx, *_: (ty, tx),
+                memory_space=pltpu.VMEM,
+            )
+            fine_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=13,
+                grid=(n_pty, Wp // LANES),
+                in_specs=[blk] * n_pre,
+                out_specs=[th_blk, th_blk],
+                scratch_shapes=list(_scratch_shapes(spec, TS)),
+            )
+            t_pl, h_pl = pl.pallas_call(
+                fine_packed_kernel,
+                grid_spec=fine_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pty * TS, Wp), jnp.float32)
+                    for _ in range(2)
+                ],
+                interpret=interpret,
+            )(*scene_args, *(to2d_packed(v) for v in pre))
+
+            def unpack(v):
+                # Packed strip sublane u = pixel_row*S + sample -> flat
+                # pixel-major ray order r = (i*W + j)*S + s (ops.raygen).
+                v = v.reshape(n_pty * aa_pack, S, Wp)[:, :, :width]
+                v = v.transpose(0, 2, 1).reshape(-1)
+                return v[: rows_out * width * S]
+
+            return unpack(t_pl), unpack(h_pl)
         out_specs = [blk, blk, blk]
         out_shape = [
             jax.ShapeDtypeStruct((Hp_pack, Wp), jnp.float32) for _ in range(3)
@@ -1713,13 +1807,13 @@ def make_pallas_image_render_aa(
     render.compact = compact
     # Final list super-tile geometry after SMEM-budget coarsening:
     # (coarse-grid rows per coarse list tile, fine list tile pixel rows).
-    render.compact_geometry = (CLG, MHL) if compact else None
+    render.compact_geometry = (CLG, CLW, MHL, CWL) if compact else None
     # Compact-plan plumbing for the O(active) backward (ops.pallas_grad):
     # the plan, the fine-list super-tile geometry, and the per-frame list
     # builder, so the backward kernel indexes the SAME lists the forward
     # fine kernel used.
     render.compact_info = (
-        dict(plan=plan, MHL=MHL, n_ftx=n_ftx, n_flty=n_flty)
+        dict(plan=plan, MHL=MHL, CWL=CWL, n_flx=n_flx, n_flty=n_flty)
         if compact
         else None
     )
@@ -1746,3 +1840,23 @@ def make_pallas_image_render_aa(
 
     render.fine_res = _fine_res
     return render
+
+
+def make_pallas_image_march_fast(
+    spec: TapeSpec, cfg: RenderConfig, width: int, height: int,
+    interpret: bool = False, **kw,
+):
+    """March-only fast path: fn(arrays, cam_vec f32[8]) -> (t[N], hit[N])
+    flat f32 arrays in pixel-major AA-ray order (ops.raygen), N = aa^2*H*W.
+
+    Runs the cone-prepass + AA-packed 2-D tiled fine march (+ leaf
+    cull/compact when enabled) and skips shading entirely — the fast raw
+    march for custom losses and non-image pipelines. ~3x the flat-layout
+    `pallas_march.make_pallas_image_march` at 1080p (which is kept for its
+    per-ray step counts). Same conservative tolerance class as the fused
+    renderer; pass `no_prepass=True` for strict reference semantics
+    (wgsl:87-115)."""
+    return make_pallas_image_render_aa(
+        spec, cfg, width, height, interpret=interpret,
+        aa_packed=True, march_only=True, **kw,
+    )

@@ -88,6 +88,10 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
         def render_band_fused(arrays, camera, i0, rows):
             return band(arrays, _band_cam_vec(camera, i0))
 
+        render_band_fused.backward_info = getattr(
+            band, "backward_info",
+            {"kind": "forward_only", "compact": False, "reason": None},
+        )
         return render_band_fused
 
     scene = make_scene_fn(spec, cfg)
@@ -109,6 +113,8 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
         origins, dirs = raygen_flat(
             idx, camera.position, camera.rotation, width, height, cfg
         )
+        # (backward_info set below — the jnp/pallas march backends all
+        # differentiate through the jnp implicit/unrolled VJP chain)
         if soft:
             t, hit, s_min, t_min = march(origins, dirs, arrays)
             color = shade_soft(
@@ -124,6 +130,11 @@ def _local_renderer(spec, width, height, cfg, mode, backend, rows_per=None,
         color = _gamma(color)
         return color.reshape(rows, width, s, 3).mean(axis=2)
 
+    render_band.backward_info = {
+        "kind": f"jnp_{mode}" if backend != "pallas" else "pallas_fwd_jnp_vjp",
+        "compact": False,
+        "reason": None,
+    }
     return render_band
 
 
@@ -352,4 +363,10 @@ def make_fit_step(
         return param_state, camera_optimizer.init(camera)
 
     step.init_opt_state = init_opt_state
+    # Which backward implementation this step trains through, and (when the
+    # fast O(active) kernel was skipped) why — so a smooth/painted scene's
+    # fallback to the O(n_leaves) legacy kernel is observable instead of a
+    # silent ~10x training slowdown. fit_scene logs it; stats() callers and
+    # tests read it directly.
+    step.backward_info = render_band.backward_info
     return step

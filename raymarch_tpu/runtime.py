@@ -87,10 +87,19 @@ class TieredRenderer:
         background: bool = True,
         interpret: bool = False,
         renderer_factory: Optional[Callable[[Any], Any]] = None,
+        persistent_cache: bool = True,
     ):
         import jax
 
         self._jax = jax
+        if persistent_cache:
+            # Static-tier compiles cost seconds per topology on a chip;
+            # the persistent cache makes revisited topologies skip XLA
+            # across process restarts too (respects an already-configured
+            # cache dir — see utils.cache).
+            from .utils.cache import enable_persistent_cache
+
+            enable_persistent_cache()
         self.width = width
         self.height = height
         self.cfg = cfg

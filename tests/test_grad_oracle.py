@@ -544,6 +544,72 @@ class TestCameraPoseGradRtol1em4:
         assert checked >= 24
 
 
+class TestCameraPoseGradNonUnitQuat:
+    def test_camera_pose_grads_off_unit_sphere(self, x64):
+        """Same camera chain with |q| != 1: the device raygen rotates by the
+        RAW quaternion, and fit_camera-style optimization drifts q off the
+        unit sphere between projections. The oracle's view-dir recovery is
+        now an explicit 3x3 solve of the raw rotation (the conjugate trick
+        was exact only at |q| = 1 — round-4 advisor finding)."""
+        import jax
+        import jax.numpy as jnp
+
+        W = H = 16
+        tape = rm.encode_wire(SCENE)
+        spec, arrays = rm.compile_scene(SCENE, rebalance=False)
+        S = CFG.aa_samples**2
+        idx = jnp.arange(W * H * S, dtype=jnp.int32)
+        pos64 = jnp.asarray(CAM.position, jnp.float64)
+        quat_raw = np.asarray(CAM.rotation, np.float64) * 1.08
+        quat64 = jnp.asarray(quat_raw, jnp.float64)
+
+        from raymarch_tpu.ops import march as march_mod
+
+        a64 = arrays_f64(arrays)
+
+        def render(campos, camquat):
+            o, d = rm.raygen_flat(idx, campos, camquat, W, H, CFG)
+            colors = march_mod.render_rays(
+                spec, a64, o, d, CFG, mode="implicit"
+            )
+            return colors.reshape(H, W, S, 3).mean(2)
+
+        img_d, vjp = jax.vjp(render, pos64, quat64)
+        o_dev, d_dev = rm.raygen_flat(idx, pos64, quat64, W, H, CFG)
+        o_np = np.asarray(o_dev, np.float64)
+        d_np = np.asarray(d_dev, np.float64)
+        col, _dcol, dcam = pixel_grads(
+            tape, o_np, d_np, CFG, cam_rotation=quat_raw
+        )
+        img_o = col.reshape(H, W, S, 3).mean(2)
+        dcam_px = dcam.reshape(H, W, S, 3, 7).mean(2)
+        np.testing.assert_allclose(np.asarray(img_d), img_o, rtol=1e-4, atol=1e-6)
+
+        hit_o = _march_hits(tape, o_np, d_np)
+        march = march_mod.make_march(spec, CFG, "forward")
+        _, hit_d, _ = march(o_dev, d_dev, a64)
+        agree = (
+            (np.asarray(hit_d) > 0.5).reshape(H, W, S)
+            == hit_o.reshape(H, W, S)
+        ).all(axis=2)
+        hit_px = hit_o.reshape(H, W, S).any(2) & agree
+        ys, xs = np.nonzero(hit_px)
+        sel = list(zip(ys[:: max(1, len(ys) // 6)], xs[:: max(1, len(ys) // 6)]))
+        checked = 0
+        for (py, px) in sel[:6]:
+            g = np.zeros((H, W, 3))
+            g[py, px, 1] = 1.0
+            dpos, dquat = vjp(jnp.asarray(g))
+            dev = np.concatenate([np.asarray(dpos), np.asarray(dquat)])
+            orc = dcam_px[py, px, 1]
+            np.testing.assert_allclose(
+                dev, orc, rtol=1e-4, atol=1e-9,
+                err_msg=f"pixel ({py},{px})",
+            )
+            checked += 1
+        assert checked >= 4
+
+
 SCENE_MAT = (
     rm.sphere(center=(-0.55, 0.0, 0.1), radius=0.85, material=(0.8, 0.2, 0.1))
     .union(

@@ -89,3 +89,45 @@ class TestShardedFused:
         l_f, lp_f = results["pallas_fused"]
         assert l_f == pytest.approx(l_j, rel=1e-4)
         np.testing.assert_allclose(lp_f, lp_j, atol=1e-5)
+
+
+class TestBackwardObservability:
+    def test_fit_step_reports_backward_kind(self):
+        # Pure hard-union scene with culling: the O(active) compact backward
+        # must be reported; with leaf_cull off, the legacy kernel with a
+        # reason. (Prevents the silent ~10x training cliff — round-4 verdict.)
+        import optax
+
+        scene = rm.sphere(center=(-0.5, 0, 0), radius=0.6) | rm.sphere(
+            center=(0.6, 0, 0), radius=0.5
+        )
+        spec, _ = rm.compile_scene(scene, static=True)
+        mesh = make_mesh(8)
+        cfg_cull = dataclasses.replace(CFG, leaf_cull=True, aa_samples=2)
+        step = make_fit_step(
+            spec, W, H, mesh, optax.adam(1e-2), cfg_cull,
+            backend="pallas_fused", interpret=True,
+        )
+        info = step.backward_info
+        assert info["kind"] == "pallas_compact"
+        assert info["compact"] and info["reason"] is None
+
+        cfg_nocull = dataclasses.replace(CFG, leaf_cull=False, aa_samples=2)
+        step2 = make_fit_step(
+            spec, W, H, mesh, optax.adam(1e-2), cfg_nocull,
+            backend="pallas_fused", interpret=True,
+        )
+        info2 = step2.backward_info
+        assert info2["kind"] == "pallas_legacy_unrolled"
+        assert not info2["compact"]
+        assert "leaf_cull" in info2["reason"]
+
+    def test_jnp_fit_step_reports_backend(self):
+        import optax
+
+        spec, _ = rm.compile_scene(SCENE, static=True)
+        mesh = make_mesh(8)
+        step = make_fit_step(
+            spec, W, H, mesh, optax.adam(1e-2), CFG, backend="jnp"
+        )
+        assert step.backward_info["kind"] == "jnp_implicit"

@@ -333,3 +333,84 @@ class TestConeOmega:
         # Center-of-mass ray deviates from the true pixel-center ray by a
         # sub-half-pixel amount; omega must dominate the measured deviation.
         assert max_dev < omega
+
+
+class TestMarchOnlyFast:
+    """march_only mode of the prepass renderer (round-5: the raw-march API
+    on the fused path's scheduling — packed tiles, prepass, cull/compact)."""
+
+    def _scene(self):
+        return (
+            rm.sphere(center=(-0.6, 0.0, 0.0), radius=0.9)
+            | rm.box(center=(0.8, 0.0, 0.0), half_extents=(0.5, 0.5, 0.5))
+        ) - rm.torus(
+            center=(0.0, 0.8, 0.0), major_radius=0.7, minor_radius=0.25
+        )
+
+    def test_matches_flat_march_kernel_no_prepass(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_march import make_pallas_image_march
+        from raymarch_tpu.ops.pallas_prepass import (
+            make_pallas_image_march_fast,
+        )
+
+        spec, arrays = rm.compile_scene(self._scene(), static=True)
+        cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2)
+        cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        t0, h0, _ = make_pallas_image_march(
+            spec, cfg, 64, 48, interpret=True, bm=8
+        )(arrays, cv)
+        t1, h1 = make_pallas_image_march_fast(
+            spec, cfg, 64, 48, interpret=True, no_prepass=True
+        )(arrays, cv)
+        t0, h0, t1, h1 = (np.asarray(x) for x in (t0, h0, t1, h1))
+        assert t1.shape == t0.shape
+        agree = (h0 > 0.5) == (h1 > 0.5)
+        assert agree.mean() > 0.999
+        m = (h0 > 0.5) & (h1 > 0.5)
+        # Same math, same sample sequence: bitwise-equal t on hits.
+        assert np.abs(t0 - t1)[m].max() < 1e-5
+
+    def test_prepass_variant_same_hits(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_march import make_pallas_image_march
+        from raymarch_tpu.ops.pallas_prepass import (
+            make_pallas_image_march_fast,
+        )
+
+        spec, arrays = rm.compile_scene(self._scene(), static=True)
+        cfg = dc.replace(
+            rm.DEFAULT_CONFIG, aa_samples=2, bound_accel=True,
+            exit_check_every=4,
+        )
+        cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        t0, h0, _ = make_pallas_image_march(
+            spec, cfg, 64, 48, interpret=True, bm=8
+        )(arrays, cv)
+        t1, h1 = make_pallas_image_march_fast(
+            spec, cfg, 64, 48, interpret=True, prepass_block=1,
+            n_intervals=2,
+        )(arrays, cv)
+        t0, h0, t1, h1 = (np.asarray(x) for x in (t0, h0, t1, h1))
+        # Cone-prepass tolerance class: grazing samples may flip; bound the
+        # disagreement fraction and t deviation on co-hits.
+        agree = (h0 > 0.5) == (h1 > 0.5)
+        assert agree.mean() > 0.99
+        m = (h0 > 0.5) & (h1 > 0.5)
+        assert np.abs(t0 - t1)[m].max() < 2 * cfg.min_dist

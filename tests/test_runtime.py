@@ -136,3 +136,45 @@ class TestViewerIntegration:
         app = ViewerApp(width=W, height=H, cfg=CFG, backend="jnp")
         app.frame()
         assert app.state()["tier"] == "single"
+
+
+class TestPersistentCache:
+    def test_respects_already_configured_dir(self):
+        # conftest configures the test cache dir; the production default
+        # must NOT override a user/test configuration.
+        import jax
+
+        from raymarch_tpu.utils.cache import enable_persistent_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        assert before  # set by tests/conftest.py
+        assert enable_persistent_cache() == before
+        assert jax.config.jax_compilation_cache_dir == before
+
+    def test_explicit_dir_wins_and_restores(self, tmp_path):
+        import jax
+
+        from raymarch_tpu.utils.cache import enable_persistent_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            d = str(tmp_path / "xla_cache")
+            assert enable_persistent_cache(d) == d
+            assert jax.config.jax_compilation_cache_dir == d
+            import os
+
+            assert os.path.isdir(d)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_tiered_renderer_enables_cache_by_default(self):
+        # TieredRenderer(persistent_cache=True) must leave the configured
+        # dir intact (and not raise); with the conftest cache set this is
+        # the no-override path, the common production case after restart.
+        import jax
+
+        from raymarch_tpu.runtime import TieredRenderer
+
+        before = jax.config.jax_compilation_cache_dir
+        TieredRenderer(W, H, CFG, backend="jnp", background=False)
+        assert jax.config.jax_compilation_cache_dir == before

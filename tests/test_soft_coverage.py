@@ -242,3 +242,71 @@ class TestFusedSoftKernel:
         a = np.asarray(r_off(arrays, cv))
         b = np.asarray(r_on(arrays, cv))
         np.testing.assert_array_equal(a, b)
+
+
+class TestSoftCompactPoseFit:
+    def test_many_primitive_pose_fit_converges(self):
+        """Silhouette-driven camera-pose fit on a MANY-primitive scene via
+        the compact soft backward (round 5): the stated use case of soft
+        mode at scale. A perturbed pose must recover most of its loss."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        rng = np.random.default_rng(41)
+        parts = [
+            rm.sphere(
+                center=tuple(rng.uniform(-1.5, 1.5, 3) * [1, 0.6, 1]),
+                radius=float(rng.uniform(0.25, 0.5)),
+            )
+            for _ in range(12)
+        ]
+        scene = parts[0]
+        for p in parts[1:]:
+            scene = scene | p
+        spec, arrays = rm.compile_scene(scene, static=True)
+        W, H = 32, 24
+        cfg = dc.replace(
+            rm.DEFAULT_CONFIG,
+            aa_samples=2,
+            coverage_beta=0.05,
+            leaf_cull=True,
+            bound_accel=True,
+        )
+        rv = make_fused_render_vjp(spec, cfg, W, H, interpret=True, soft=True)
+        assert rv.compact_bwd
+
+        cam_true = rm.Camera.looking_at(
+            position=(0.2, 1.6, 5.0), target=(0, 0, 0)
+        )
+        cv_true = jnp.asarray(
+            np.concatenate(
+                [cam_true.position, cam_true.rotation, [0.0]]
+            ).astype(np.float32)
+        )
+        target = rv(arrays, cv_true)
+
+        def loss_fn(cv):
+            return jnp.mean((rv(arrays, cv) - target) ** 2)
+
+        gfn = jax.jit(jax.value_and_grad(loss_fn))
+        # Perturb the pose (position + rotation).
+        cv = cv_true + jnp.asarray(
+            [0.15, -0.1, 0.12, 0.03, -0.02, 0.03, 0.0, 0.0], jnp.float32
+        )
+        opt = optax.adam(2e-2)
+        state = opt.init(cv)
+        l0 = float(gfn(cv)[0])
+        for _ in range(30):
+            l, g = gfn(cv)
+            up, state = opt.update(g, state, cv)
+            cv = cv + up
+            # re-project the quaternion (as make_fit_step does)
+            q = cv[3:7]
+            cv = cv.at[3:7].set(q / jnp.maximum(jnp.linalg.norm(q), 1e-8))
+        l1 = float(gfn(cv)[0])
+        assert l1 < 0.3 * l0, (l0, l1)
