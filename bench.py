@@ -108,6 +108,13 @@ def main():
 
     import dataclasses as _dc
 
+    # Persistent compilation cache: affects compile time only (the new
+    # fwd+bwd kernels take minutes of Mosaic compile each); steady-state
+    # timings are unaffected.
+    from raymarch_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     cfg0 = rm.DEFAULT_CONFIG  # 4x4 AA = 16 rays/px, max_iter=100 (reference spec)
     # Headline config adds the bounding-sphere march acceleration and an
     # amortized early-exit check (both exact modulo grazing-threshold sample
@@ -848,6 +855,39 @@ def main():
             file=sys.stderr,
         )
         record_row("fwdbwd_64leaf_soft", dt_s64, n_rays)
+
+        # Fast-soft config: soft_cull_log_alpha=24 makes leaf culling
+        # effective in soft mode (directly dropped alpha <= 4e-11;
+        # sample-phase tolerance class on grazing edge pixels — see
+        # RenderConfig.soft_cull_log_alpha).
+        cfg_soft24 = _dc.replace(cfg_soft64, soft_cull_log_alpha=24.0)
+        rv_s24 = make_fused_render_vjp(
+            spec64, cfg_soft24, WIDTH, HEIGHT, soft=True
+        )
+        assert rv_s24.compact_bwd
+
+        def loss_s24(lp, opp, c):
+            a = dataclasses.replace(arrays64, leaf_params=lp, op_param=opp)
+            return jnp.mean(rv_s24(a, c) ** 2)
+
+        grad_s24 = jax.jit(
+            lambda lp, opp, c: jax.grad(loss_s24, argnums=(0, 1, 2))(
+                lp, opp, c
+            )
+        )
+        dt_s24, _ = timeit(
+            grad_s24,
+            jnp.asarray(arrays64.leaf_params),
+            jnp.asarray(arrays64.op_param),
+            cam64_vec,
+            warmup=2, frames=10, reps=2,
+        )
+        print(
+            f"64-leaf SOFT fwd+bwd (fast cull, log_alpha=24): "
+            f"{dt_s24*1e3:.1f} ms, {n_rays/dt_s24/1e9:.3f} Grays/s",
+            file=sys.stderr,
+        )
+        record_row("fwdbwd_64leaf_soft_la24", dt_s24, n_rays)
 
         render = rm.make_renderer(
             spec_s, WIDTH, HEIGHT, cfg, mode="implicit", backend="pallas",

@@ -66,6 +66,76 @@ _RADIUS_MARGIN = 1e-3
 
 
 @functools.lru_cache(maxsize=None)
+def _leaf_path_data(spec: TapeSpec):
+    """Static per-leaf root-path data for the PAIRWISE (spatially gated)
+    blend inflation — see leaf_bound_spheres.
+
+    Returns None for dynamic tapes / paths longer than the vectorization
+    cap, else a dict of numpy arrays:
+      path_op   [L, P] int32 — instr index of the t-th op on leaf l's path
+                 (bottom-up, leaf to root; -1 padding)
+      path_side [L, P] int8  — operand side leaf l sits on (0 left, 1 right)
+      path_un   [L, P] bool  — unary op (round/onion): no sibling, its k
+                 shifts the level set unconditionally
+      sib_mask  [I, 2, L] bool — per (op, side): leaf rows of that operand
+      sib_slack [I, 2] f32-mask rows [I, 2, I] — ops INSIDE that operand
+                 subtree (their |k| bounds the operand's value-below-
+                 geometric-distance slack)
+    """
+    if spec.static_tape is None:
+        return None
+    from .sdf import _static_tree
+
+    root = _static_tree(spec)
+    if root is None:
+        return None
+    L, I = spec.n_leaves, spec.n_instr
+    paths: dict[int, list] = {}
+    sib_mask = np.zeros((I, 2, L), bool)
+    sub_ops = np.zeros((I, 2, I), bool)
+
+    def subtree_ops(node, out):
+        kind, i, payload, _rows = node
+        if kind == "leaf":
+            return
+        out[i] = True
+        for c in payload:
+            subtree_ops(c, out)
+
+    def walk(node, path):
+        # path: list of (op_idx, side, unary) from ROOT to here.
+        kind, i, payload, rows = node
+        if kind == "leaf":
+            paths[payload] = list(reversed(path))  # bottom-up
+            return
+        if kind in (oc.COP_ROUND, oc.COP_ONION):
+            walk(payload[0], path + [(i, 0, True)])
+            return
+        for side, child in enumerate(payload):
+            for r in child[3]:
+                sib_mask[i, side, r] = True
+            subtree_ops(child, sub_ops[i, side])
+            walk(child, path + [(i, side, False)])
+
+    walk(root, [])
+    P = max((len(p) for p in paths.values()), default=0)
+    if P == 0 or P > 256:
+        return None
+    path_op = np.full((L, P), -1, np.int32)
+    path_side = np.zeros((L, P), np.int8)
+    path_un = np.zeros((L, P), bool)
+    for leaf, p in paths.items():
+        for t, (op, side, un) in enumerate(p):
+            path_op[leaf, t] = op
+            path_side[leaf, t] = side
+            path_un[leaf, t] = un
+    return dict(
+        path_op=path_op, path_side=path_side, path_un=path_un,
+        sib_mask=sib_mask, sub_ops=sub_ops,
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _leaf_op_incidence(spec: TapeSpec):
     """Static f32[n_leaves, n_instr] incidence: op i lies on the path from
     leaf row r to the tape root. A culled leaf's FAR substitute flows ONLY
@@ -103,6 +173,71 @@ def _leaf_op_incidence(spec: TapeSpec):
 
     walk(root, [])
     return M
+
+
+def _pairwise_path_ksum(spec, centers, geo_r, opp_abs, cfg):
+    """Spatially gated per-leaf blend inflation (round-5 'pairwise
+    certificate'): leaf i's bound inflates by |k_m| only for path ops m
+    whose SIBLING subtree can actually band-interact with i.
+
+    Why this is sound (refining the module-docstring lemma): culling leaf
+    i perturbs the scene field only through the fold steps on its root
+    path, and the sub-min_dist-relevant region of that perturbation can
+    cross op m only via m's k-band, which requires a point p where BOTH
+    operand values are ~simultaneously small (within rho + k_m + level-set
+    slack). Operand values lower-bound their subtree's geometric distance
+    minus the subtree's own smooth slack (sum |k| inside it: each smooth
+    blend lowers by <= k/4, round/onion shift by k — sum |k| covers both),
+    so small values pin p near BOTH operand geometries. If the sibling's
+    enclosing sphere (geometric radii + its slack) stays farther than
+    reach = geo_r_i + rho_i + k_m + sibling_reach + 2*(min_dist + taps)
+    from leaf i's sphere, the band never touches i's influence region
+    anywhere in space and m behaves exactly hard w.r.t. the substitution
+    — its k drops from i's inflation. rho accumulates bottom-up so chained
+    bands (the honest worst case) still sum. Unary round/onion shift the
+    level set unconditionally and always count. Strictly conservative
+    refinement of the path-sum: rho_i <= sum |k| over path(i) always.
+
+    Returns f32[n_leaves] rho, or None (dynamic tape / deep-path cap) —
+    callers fall back to the path-sum/global-sum behavior.
+    """
+    import jax.numpy as _jnp
+
+    pd = _leaf_path_data(spec)
+    if pd is None:
+        return None
+    P = pd["path_op"].shape[1]
+    sm = _jnp.asarray(pd["sib_mask"], _jnp.float32)  # [I,2,L]
+    cnt = _jnp.maximum(_jnp.sum(sm, axis=-1), 1.0)  # [I,2]
+    cc = _jnp.einsum("isl,lc->isc", sm, centers) / cnt[:, :, None]
+    d2cc = _jnp.sqrt(
+        _jnp.sum(
+            (centers[None, None, :, :] - cc[:, :, None, :]) ** 2, axis=-1
+        )
+        + 1e-20
+    )  # [I,2,L]
+    rad = _jnp.max(sm * (d2cc + geo_r[None, None, :]), axis=-1)  # [I,2]
+    slack = _jnp.einsum(
+        "isj,j->is", _jnp.asarray(pd["sub_ops"], _jnp.float32), opp_abs
+    )  # [I,2]
+    L0 = cfg.min_dist + 8.0 * cfg.normal_eps + _RADIUS_MARGIN
+    path_op = _jnp.asarray(pd["path_op"])
+    path_side = _jnp.asarray(pd["path_side"], _jnp.int32)
+    path_un = _jnp.asarray(pd["path_un"])
+    rho = _jnp.zeros(centers.shape[0], _jnp.float32)
+    for t in range(P):
+        opix = path_op[:, t]
+        valid = opix >= 0
+        o = _jnp.clip(opix, 0, None)
+        k_t = _jnp.where(valid, opp_abs[o], 0.0)
+        sib = 1 - path_side[:, t]
+        sc = cc[o, sib]  # [L,3]
+        sr = rad[o, sib] + slack[o, sib]
+        dist = _jnp.sqrt(_jnp.sum((centers - sc) ** 2, axis=-1) + 1e-20)
+        reach = geo_r + rho + k_t + sr + 2.0 * L0
+        inter = _jnp.logical_or(dist <= reach, path_un[:, t])
+        rho = rho + _jnp.where(_jnp.logical_and(valid, inter), k_t, 0.0)
+    return rho
 
 
 def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig,
@@ -151,11 +286,15 @@ def leaf_bound_spheres(spec: TapeSpec, arrays: TapeArrays, cfg: RenderConfig,
         default=r_sphere,
     )
     opp_abs = jnp.abs(jnp.asarray(arrays.op_param))
-    M = _leaf_op_incidence(spec)
-    ksum = jnp.sum(opp_abs) if M is None else jnp.asarray(M) @ opp_abs
+    # Spatially gated pairwise inflation (strictly tighter than the path
+    # sum); falls back to path-sum (static) then global-sum (dynamic).
+    ksum = _pairwise_path_ksum(spec, lp[:, 4:7], jnp.abs(radii), opp_abs, cfg)
+    if ksum is None:
+        M = _leaf_op_incidence(spec)
+        ksum = jnp.sum(opp_abs) if M is None else jnp.asarray(M) @ opp_abs
     expand = ksum + cfg.min_dist + 8.0 * cfg.normal_eps + _RADIUS_MARGIN
     if soft:
-        expand = expand + 104.0 * cfg.coverage_beta
+        expand = expand + cfg.soft_cull_log_alpha * cfg.coverage_beta
     bounded = jnp.where(types_a == oc.LEAF_PLANE, 0.0, 1.0)
     return jnp.concatenate(
         [

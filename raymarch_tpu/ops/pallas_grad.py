@@ -806,12 +806,27 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
                 gt_extra, go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
 
             # Ordered sources at the taps: record + one accumulating sweep.
+            def gated3(m, fn):
+                # Per-tile skip: most tiles route no ray to this source
+                # (src_mask is a strict argmin), so the whole record+sweep
+                # — including its ref side effects — runs only when some
+                # ray actually needs it.
+                return jax.lax.cond(
+                    jnp.max(m) > 0.0, fn, lambda: (z0, z0, z0)
+                )
+
             if has_ordered:
                 for i in range(4):
                     if chain:
-                        rec_chain(pts[i])
                         m = src_mask(i, src_ids["chain"])
-                        gq = sweep_chain(pts[i], wlist[i] * m, True)
+
+                        def tap_chain(i=i, m=m):
+                            rec_chain(pts[i])
+                            return tuple(
+                                sweep_chain(pts[i], wlist[i] * m, True)
+                            )
+
+                        gq = gated3(m, tap_chain)
                         gt_extra = gt_extra + (
                             gq[0] * dx + gq[1] * dy + gq[2] * dz
                         ) * gt_fac
@@ -819,12 +834,17 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
                             go[c3] = go[c3] + gq[c3]
                             gd[c3] = gd[c3] + gq[c3] * th_pos
                     for gi in streams:
-                        bsid = rec_stream(gi, pts[i])
                         m = src_mask(i, stream_src[gi])
-                        _, gq = sweep_group(
-                            gi, stream_base[gi], pts[i], wlist[i] * m,
-                            True, bsid=bsid,
-                        )
+
+                        def tap_stream(i=i, gi=gi, m=m):
+                            bsid = rec_stream(gi, pts[i])
+                            _, gq_ = sweep_group(
+                                gi, stream_base[gi], pts[i], wlist[i] * m,
+                                True, bsid=bsid,
+                            )
+                            return gq_
+
+                        gq = gated3(m, tap_stream)
                         gt_extra = gt_extra + (
                             gq[0] * dx + gq[1] * dy + gq[2] * dz
                         ) * gt_fac
@@ -849,21 +869,41 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
                 fdot = jax.lax.fori_loop(0, ccf_ref[tid, cidx], body2, fdot)
 
             bsid_hit = {}
+            m_hit = {}
             if has_ordered:
                 # Record the hit point ONCE (partitioned history), sweep for
-                # fdot now and for the parameter chain after w_pos is known.
+                # fdot now and for the parameter chain after w_pos is known
+                # — both sweeps share the same per-tile gate, so the history
+                # is always recorded exactly when the pos sweep reuses it.
                 if chain:
-                    rec_chain(pts[4])
                     m = src_mask(4, src_ids["chain"])
-                    gq = sweep_chain(pts[4], m, False)
+                    m_hit["chain"] = m
+
+                    def hit_chain(m=m):
+                        rec_chain(pts[4])
+                        return tuple(sweep_chain(pts[4], m, False))
+
+                    gq = gated3(m, hit_chain)
                     fdot = fdot + gq[0] * dx + gq[1] * dy + gq[2] * dz
                 for gi in streams:
-                    bsid_hit[gi] = rec_stream(gi, pts[4])
                     m = src_mask(4, stream_src[gi])
-                    _, gq = sweep_group(
-                        gi, stream_base[gi], pts[4], m, False,
-                        bsid=bsid_hit[gi],
+                    m_hit[gi] = m
+                    bsid_none = jnp.zeros((TS, LANES), jnp.int32) - 1
+
+                    def hit_stream(gi=gi, m=m):
+                        b = rec_stream(gi, pts[4])
+                        _, gq_ = sweep_group(
+                            gi, stream_base[gi], pts[4], m, False, bsid=b
+                        )
+                        return gq_ + (b,)
+
+                    out = jax.lax.cond(
+                        jnp.max(m) > 0.0,
+                        hit_stream,
+                        lambda b=bsid_none: (z0, z0, z0, b),
                     )
+                    gq = out[:3]
+                    bsid_hit[gi] = out[3]
                     fdot = fdot + gq[0] * dx + gq[1] * dy + gq[2] * dz
 
             gt_total = gt_shade + gt_extra
@@ -933,19 +973,29 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
 
             if has_ordered:
                 # Ordered sources reuse the hit-point history recorded for
-                # the fdot sweep.
+                # the fdot sweep (same gate predicate => history is valid
+                # exactly when these sweeps run).
                 if chain:
-                    m = src_mask(4, src_ids["chain"])
-                    gq = sweep_chain(pts[4], w_pos * m, True)
+                    m = m_hit["chain"]
+
+                    def pos_chain(m=m):
+                        return tuple(sweep_chain(pts[4], w_pos * m, True))
+
+                    gq = gated3(m, pos_chain)
                     for c3 in range(3):
                         go[c3] = go[c3] + gq[c3]
                         gd[c3] = gd[c3] + gq[c3] * th
                 for gi in streams:
-                    m = src_mask(4, stream_src[gi])
-                    _, gq = sweep_group(
-                        gi, stream_base[gi], pts[4], w_pos * m, True,
-                        bsid=bsid_hit[gi],
-                    )
+                    m = m_hit[gi]
+
+                    def pos_stream(gi=gi, m=m):
+                        _, gq_ = sweep_group(
+                            gi, stream_base[gi], pts[4], w_pos * m, True,
+                            bsid=bsid_hit[gi],
+                        )
+                        return gq_
+
+                    gq = gated3(m, pos_stream)
                     for c3 in range(3):
                         go[c3] = go[c3] + gq[c3]
                         gd[c3] = gd[c3] + gq[c3] * th
@@ -995,19 +1045,30 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
                     go[0], go[1], go[2], gd[0], gd[1], gd[2] = carry
                 if has_ordered:
                     if chain:
-                        rec_chain(pts[5])
                         m = src_mask(5, src_ids["chain"])
-                        gq = sweep_chain(pts[5], gs_shade * m, True)
+
+                        def env_chain(m=m):
+                            rec_chain(pts[5])
+                            return tuple(
+                                sweep_chain(pts[5], gs_shade * m, True)
+                            )
+
+                        gq = gated3(m, env_chain)
                         for c3 in range(3):
                             go[c3] = go[c3] + gq[c3]
                             gd[c3] = gd[c3] + gq[c3] * t_min
                     for gi in streams:
-                        bsid_e = rec_stream(gi, pts[5])
                         m = src_mask(5, stream_src[gi])
-                        _, gq = sweep_group(
-                            gi, stream_base[gi], pts[5], gs_shade * m,
-                            True, bsid=bsid_e,
-                        )
+
+                        def env_stream(gi=gi, m=m):
+                            bsid_e = rec_stream(gi, pts[5])
+                            _, gq_ = sweep_group(
+                                gi, stream_base[gi], pts[5], gs_shade * m,
+                                True, bsid=bsid_e,
+                            )
+                            return gq_
+
+                        gq = gated3(m, env_stream)
                         for c3 in range(3):
                             go[c3] = go[c3] + gq[c3]
                             gd[c3] = gd[c3] + gq[c3] * t_min

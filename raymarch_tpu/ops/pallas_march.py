@@ -446,7 +446,52 @@ def compactable_spec(spec: TapeSpec) -> bool:
     return build_compact_plan(spec) is not None
 
 
-def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
+def make_compact_refiner(plan):
+    """Second-level list refinement (round 5): kernels whose SMEM list
+    super-tiles were budget-coarsened far beyond the kernel tile re-compact
+    the tile's list ONCE per kernel invocation against the per-tile cull
+    BITMASK (which lives at much finer granularity than the big lists —
+    masks are a few words/tile, lists are n_items words/tile). The refined
+    list lands in per-invocation SMEM scratch; every march step then loops
+    the tile's TRUE active count instead of the super-tile's inflated one
+    (at 1024 leaves/1080p the budget forces 256x256-px list tiles whose
+    mean active count is 28 with p90=150 — the refiner collapses that back
+    to the fine-mask activity, measured mean ~2).
+
+    Returns refine(clist_ref, ccount_ref, tid, cull, rlist_ref, rcount_ref)
+    writing rlist (s32[n_items] scratch) / rcount (s32[n_counts] scratch).
+    Exactness: refined = coarse-tile list ∩ fine-mask active set, order
+    preserved — the same active set (and fold-order) the host would have
+    produced at mask granularity, so the FAR-substitution lemma applies
+    unchanged.
+    """
+    groups = plan["groups"]
+
+    def refine(clist_ref, ccount_ref, tid, cull, rlist_ref, rcount_ref):
+        for g in groups:
+            off = g["offset"]
+            cidx = g["count_idx"]
+
+            def body(j, cnt, _off=off):
+                # Branchless compaction: always store at the write cursor,
+                # advance it only for kept items — dropped entries are
+                # overwritten by the next kept one and trailing garbage
+                # past the final count is never read.
+                e = clist_ref[tid, _off + j]
+                rlist_ref[_off + cnt] = e
+                keep = cull.leaf(e & 1023)
+                return cnt + jnp.where(keep, 1, 0)
+
+            cnt = jax.lax.fori_loop(
+                0, ccount_ref[tid, cidx], body, jnp.int32(0)
+            )
+            rcount_ref[cidx] = cnt
+
+    return refine
+
+
+def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan,
+                             refined: bool = False):
     """O(active-leaves) distance evaluator over a segmented compact plan.
 
     Why this exists: per-tile leaf culling via scalar `lax.cond` gates does
@@ -476,16 +521,31 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
     def scene_eval(lp_ref, opp_ref, clist_ref, ccount_ref, tid, px, py, pz):
         far_tile = px * 0.0 + FAR
 
+        # List accessors: 2-D host lists indexed by the tile id, or the
+        # 1-D per-invocation refined scratch (make_compact_refiner).
+        if refined:
+            def LST(k):
+                return clist_ref[k]
+
+            def CNT(ci):
+                return ccount_ref[ci]
+        else:
+            def LST(k):
+                return clist_ref[tid, k]
+
+            def CNT(ci):
+                return ccount_ref[tid, ci]
+
         def run_free(g, d):
             def body(j, acc, _g=g):
-                row = clist_ref[tid, _g["offset"] + j]
+                row = LST(_g["offset"] + j)
                 dv = _leaf_distance_tile(
                     lp_ref, row, _g["ltype"], _g["rotated"], px, py, pz
                 )
                 return jnp.minimum(acc, dv)
 
             return jax.lax.fori_loop(
-                0, ccount_ref[tid, g["count_idx"]], body, d
+                0, CNT(g["count_idx"]), body, d
             )
 
         def item_leaf(g, e):
@@ -527,11 +587,11 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
 
         def run_ordered(g, d):
             def body(j, acc, _g=g):
-                e = clist_ref[tid, _g["offset"] + j]
+                e = LST(_g["offset"] + j)
                 return fold_step(acc, e, item_leaf(_g, e))
 
             return jax.lax.fori_loop(
-                0, ccount_ref[tid, g["count_idx"]], body, d
+                0, CNT(g["count_idx"]), body, d
             )
 
         def run_stream(g, d_out):
@@ -540,7 +600,7 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
             # dropout (culling) never loses a boundary: sid is per-item.
             def body(j, carry, _g=g):
                 acc_out, acc_seg, prev = carry
-                e = clist_ref[tid, _g["offset"] + j]
+                e = LST(_g["offset"] + j)
                 sid = (e >> 15) & 7
                 new_seg = sid != prev
                 acc_out = jnp.where(
@@ -552,7 +612,7 @@ def _make_scene_eval_compact(spec: TapeSpec, cfg: RenderConfig, plan):
 
             acc_out, acc_seg, _ = jax.lax.fori_loop(
                 0,
-                ccount_ref[tid, g["count_idx"]],
+                CNT(g["count_idx"]),
                 body,
                 (d_out, far_tile, jnp.int32(-1)),
             )

@@ -58,6 +58,7 @@ from .pallas_march import (
     _tet_taps,
     build_compact_plan,
     compute_bound,
+    make_compact_refiner,
 )
 from .culling import (
     compact_plan_rows,
@@ -392,15 +393,26 @@ def _fine_march_tile_soft(scene, ox, oy, oz, dx, dy, dz, live0, cfg,
       BOTH paths (alpha = 0, no hit, t unused at alpha 0) — skipping the
       march changes nothing;
     - a ray entering R_soft marches from t=0 with the IDENTICAL sample
-      sequence as the un-bounded path until t_cap = t_exit + R_soft
-      (+ min_dist margin). The cap lies past the projection parameter of
+      sequence as the un-bounded path until t_cap = t_center + R_soft
+      (+ min_dist margin), t_center the chord midpoint (= the projection
+      of the bound center). The cap lies past the projection parameter of
       every scene point (any q in the bound projects at t_q <= t_center +
-      R_soft <= t_exit + R_soft), so along the un-bounded path's remaining
-      samples the distance to every scene point — hence the scene SDF — is
-      increasing: those samples can neither improve s_min nor hit.
+      R_soft), so along the un-bounded path's remaining samples the
+      distance to every scene point — hence the scene SDF (R_soft already
+      carries the smooth-blend expansion, compute_bound) — is increasing:
+      those samples can neither improve s_min nor hit.
+    - per-LANE no-improvement exit (round 5): past t_center, |p - c| is
+      increasing along the ray, and the scene SDF >= |p - c| - R_soft; a
+      live lane has s_min >= min_dist (it never hit), so once
+      |p - c| - R_soft > s_min no future sample can improve s_min or hit
+      — the lane exits with its results already exact. This is what lets
+      grazing lanes stop as soon as they leave their own neighborhood
+      instead of marching to the far side of the whole scene bound.
     """
     zero = dx * 0.0
     t_cap = zero + _INF
+    t_mid = zero + _INF
+    use_bound = False
     if bound is not None:
         bcx, bcy, bcz, br, bvalid = bound
         ocx = ox - bcx
@@ -416,7 +428,9 @@ def _fine_march_tile_soft(scene, ox, oy, oz, dx, dy, dz, live0, cfg,
         )
         use = bvalid > 0.0
         live0 = jnp.where(use, hit_bound, live0)
-        t_cap = jnp.where(use, t_exit + br + cfg.min_dist, t_cap)
+        t_cap = jnp.where(use, -bq + br + cfg.min_dist, t_cap)
+        t_mid = jnp.where(use, -bq, t_mid)
+        use_bound = True
 
     def cond(state):
         k, _, live, _, _, _ = state
@@ -435,9 +449,15 @@ def _fine_march_tile_soft(scene, ox, oy, oz, dx, dy, dz, live0, cfg,
         s_min2 = jnp.where(better > 0.0, d, s_min)
         t_min2 = jnp.where(better > 0.0, t, t_min)
         hit_now = jnp.where(d < cfg.min_dist, act, 0.0)
-        escaped = jnp.where(
-            jnp.logical_or(d > cfg.max_dist, t > t_cap), act, 0.0
-        )
+        esc_c = jnp.logical_or(d > cfg.max_dist, t > t_cap)
+        if use_bound:
+            pcx = px - bcx
+            pcy = py - bcy
+            pcz = pz - bcz
+            pc = jnp.sqrt(pcx * pcx + pcy * pcy + pcz * pcz + 1e-20)
+            noimp = jnp.logical_and(t > t_mid, pc - br > s_min2)
+            esc_c = jnp.logical_or(esc_c, noimp)
+        escaped = jnp.where(esc_c, act, 0.0)
         escaped = escaped - escaped * hit_now
         advance = act - hit_now - escaped
         t2 = t + d * advance
@@ -555,6 +575,7 @@ def make_pallas_image_render_aa(
     aa_packed: bool = False,
     soft: bool = False,
     march_only: bool = False,
+    list_smem_budget: int | None = None,
     _dbg_skip_taps: bool = False,
     _dbg_skip_march: bool = False,
 ):
@@ -761,6 +782,8 @@ def make_pallas_image_render_aa(
     _LIST_SMEM_BUDGET = (
         330 * 1024 if _n_fine_tiles <= 2048 else 96 * 1024
     )
+    if list_smem_budget is not None:  # test hook: force coarsening/refine
+        _LIST_SMEM_BUDGET = int(list_smem_budget)
     CLG = 1  # coarse-kernel list tile = CLG coarse grid rows
     CLW = 1  # ... and CLW coarse grid columns
     # Fine-list super-tile height in PIXEL rows. Floor = the fine kernel's
@@ -833,6 +856,30 @@ def make_pallas_image_render_aa(
     n_clx = (n_ctx + CLW - 1) // CLW
     n_flty = (_fine_rows_total + MHL - 1) // MHL
     n_flx = (n_ftx + CWL - 1) // CWL
+    # Second-level in-kernel list refinement (round 5): when the SMEM
+    # budget coarsened list super-tiles beyond the cull-MASK granularity,
+    # each kernel invocation re-compacts its super-tile list against its
+    # own (much finer) bitmask once, into per-invocation SMEM scratch —
+    # march steps then loop the tile's true active count instead of the
+    # super-tile's inflated one. See pallas_march.make_compact_refiner.
+    refine_fine = compact and (MHL > MH or CWL > 1)
+    refine_coarse = compact and (CLG > 1 or CLW > 1)
+    scene_compact_ref = (
+        _make_scene_eval_compact(spec, cfg, plan, refined=True)
+        if (refine_fine or refine_coarse)
+        else None
+    )
+    refiner = (
+        make_compact_refiner(plan) if (refine_fine or refine_coarse) else None
+    )
+    _refine_scratch = (
+        [
+            pltpu.SMEM((plan["n_items"],), jnp.int32),
+            pltpu.SMEM((plan["n_counts"],), jnp.int32),
+        ]
+        if compact
+        else []
+    )
 
     # ------------- coarse kernel: 1 cone ray per BxB pixel block -------------
     def coarse_kernel(
@@ -841,6 +888,8 @@ def make_pallas_image_render_aa(
     ):
         out_refs = rest[:n_pre]
         scratch = rest[n_pre:]
+        if refine_coarse:
+            *scratch, crl_ref, crc_ref = scratch
         # 2D tiling over the (hb x wb) block grid (same rationale as the
         # fine kernel's two_d layout): tiles are localized image rectangles,
         # so tiles whose rays all miss the scene bounding sphere exit the
@@ -868,11 +917,21 @@ def make_pallas_image_render_aa(
         cull = cull_coarse(cullc_ref, ty, tx)
 
         if compact:
-            def scene(px, py, pz):
-                return scene_compact(
-                    lp_ref, opp_ref, clc_ref, ccc_ref,
-                    (ty // CLG) * n_clx + tx // CLW, px, py, pz,
-                )
+            ctid = (ty // CLG) * n_clx + tx // CLW
+            if refine_coarse:
+                # Re-compact this tile's (budget-coarsened) list against
+                # its own finer bitmask, once per invocation.
+                refiner(clc_ref, ccc_ref, ctid, cull, crl_ref, crc_ref)
+
+                def scene(px, py, pz):
+                    return scene_compact_ref(
+                        lp_ref, opp_ref, crl_ref, crc_ref, 0, px, py, pz
+                    )
+            else:
+                def scene(px, py, pz):
+                    return scene_compact(
+                        lp_ref, opp_ref, clc_ref, ccc_ref, ctid, px, py, pz
+                    )
         else:
             def scene(px, py, pz):
                 return scene_eval(
@@ -960,6 +1019,8 @@ def make_pallas_image_render_aa(
             # (t, hit) so the backward kernel replays shading without
             # re-marching. S blocks per pixel tile, indexed i*S + s.
             tm_ref, hm_ref, *scratch = scratch
+        if refine_fine and two_d:
+            *scratch, frl_ref, frc_ref = scratch
         if share_normals:
             # Normal cache persists across the sample grid dim (s is the
             # innermost grid axis, so samples of one pixel tile run
@@ -1016,11 +1077,21 @@ def make_pallas_image_render_aa(
         oz = jnp.full((bm_fine, LANES), cam_ref[2], jnp.float32)
 
         if compact and two_d:
-            def scene(px, py, pz):
-                return scene_compact(
-                    lp_ref, opp_ref, clf_ref, ccf_ref,
-                    ((ty * bm_fine) // MHL) * n_flx + tx // CWL, px, py, pz,
-                )
+            ftid = ((ty * bm_fine) // MHL) * n_flx + tx // CWL
+            if refine_fine:
+                @pl.when(s == 0)
+                def _():
+                    refiner(clf_ref, ccf_ref, ftid, cull, frl_ref, frc_ref)
+
+                def scene(px, py, pz):
+                    return scene_compact_ref(
+                        lp_ref, opp_ref, frl_ref, frc_ref, 0, px, py, pz
+                    )
+            else:
+                def scene(px, py, pz):
+                    return scene_compact(
+                        lp_ref, opp_ref, clf_ref, ccf_ref, ftid, px, py, pz
+                    )
         else:
             def scene(px, py, pz):
                 return scene_eval_f(
@@ -1306,7 +1377,8 @@ def make_pallas_image_render_aa(
             grid=(hb_p // bm_coarse, wb_p // LANES),
             in_specs=[],
             out_specs=[blk] * n_pre,
-            scratch_shapes=_scratch_shapes(spec, bm_coarse),
+            scratch_shapes=list(_scratch_shapes(spec, bm_coarse))
+            + (_refine_scratch if refine_coarse else []),
         )
         pre = pl.pallas_call(
             coarse_kernel,
@@ -1426,7 +1498,8 @@ def make_pallas_image_render_aa(
             grid=(Hp // bm_fine, Wp // LANES, S),
             in_specs=[blk] * n_pre,
             out_specs=out_specs,
-            scratch_shapes=fine_scratch,
+            scratch_shapes=fine_scratch
+            + (_refine_scratch if refine_fine else []),
         )
         r, g, b, *th = pl.pallas_call(
             kernel,
@@ -1464,6 +1537,8 @@ def make_pallas_image_render_aa(
                 tm_ref, hm_ref, sm_ref, tmn_ref, *scratch = scratch
             else:
                 tm_ref, hm_ref, *scratch = scratch
+        if refine_fine:
+            *scratch, prl_ref, prc_ref = scratch
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         u = jax.lax.broadcasted_iota(jnp.int32, (TS, LANES), 0)
@@ -1496,11 +1571,19 @@ def make_pallas_image_render_aa(
         cull = cull_packed(cullf_ref, (ty * aa_pack) // MH, tx)
 
         if compact:
-            def scene(px, py_, pz):
-                return scene_compact(
-                    lp_ref, opp_ref, clf_ref, ccf_ref,
-                    ((ty * aa_pack) // MHL) * n_flx + tx // CWL, px, py_, pz,
-                )
+            ptid = ((ty * aa_pack) // MHL) * n_flx + tx // CWL
+            if refine_fine:
+                refiner(clf_ref, ccf_ref, ptid, cull, prl_ref, prc_ref)
+
+                def scene(px, py_, pz):
+                    return scene_compact_ref(
+                        lp_ref, opp_ref, prl_ref, prc_ref, 0, px, py_, pz
+                    )
+            else:
+                def scene(px, py_, pz):
+                    return scene_compact(
+                        lp_ref, opp_ref, clf_ref, ccf_ref, ptid, px, py_, pz
+                    )
         else:
             def scene(px, py_, pz):
                 return scene_eval_f(
@@ -1617,7 +1700,7 @@ def make_pallas_image_render_aa(
             # approach point; the common floor/mix tail below then blends
             # by alpha instead of hit — identical structure.
             if cfg.bound_accel:
-                soft_infl = cfg.min_dist + 104.0 * cfg.coverage_beta
+                soft_infl = cfg.min_dist + cfg.soft_cull_log_alpha * cfg.coverage_beta
                 bnd_soft = (
                     bnd_ref[0], bnd_ref[1], bnd_ref[2],
                     bnd_ref[3] + soft_infl, bnd_ref[4],
@@ -1738,7 +1821,8 @@ def make_pallas_image_render_aa(
                 grid=(n_pty, Wp // LANES),
                 in_specs=[blk] * n_pre,
                 out_specs=[th_blk, th_blk],
-                scratch_shapes=list(_scratch_shapes(spec, TS)),
+                scratch_shapes=list(_scratch_shapes(spec, TS))
+                + (_refine_scratch if refine_fine else []),
             )
             t_pl, h_pl = pl.pallas_call(
                 fine_packed_kernel,
@@ -1781,7 +1865,8 @@ def make_pallas_image_render_aa(
             grid=(n_pty, Wp // LANES),
             in_specs=[blk] * n_pre,
             out_specs=out_specs,
-            scratch_shapes=list(_scratch_shapes(spec, TS)),
+            scratch_shapes=list(_scratch_shapes(spec, TS))
+            + (_refine_scratch if refine_fine else []),
         )
         r, g, b, *th = pl.pallas_call(
             kernel,
@@ -1808,6 +1893,8 @@ def make_pallas_image_render_aa(
     # Final list super-tile geometry after SMEM-budget coarsening:
     # (coarse-grid rows per coarse list tile, fine list tile pixel rows).
     render.compact_geometry = (CLG, CLW, MHL, CWL) if compact else None
+    # Second-level in-kernel refinement engaged? (fine kernels, coarse kernel)
+    render.compact_refined = (refine_fine, refine_coarse) if compact else None
     # Compact-plan plumbing for the O(active) backward (ops.pallas_grad):
     # the plan, the fine-list super-tile geometry, and the per-frame list
     # builder, so the backward kernel indexes the SAME lists the forward

@@ -624,3 +624,69 @@ def test_256_leaf_1080p_geometry_coarsens_within_budget():
     assert r.compact
     clg, clw, mhl, cwl = r.compact_geometry
     assert clg > 1 or clw > 1 or mhl > 64 or cwl > 1  # coarsening happened
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(no_prepass=True, aa_packed=False),
+        dict(no_prepass=True, aa_packed=True),
+        dict(prepass_block=1, n_intervals=2, aa_packed=True),
+    ],
+)
+def test_refined_lists_match_uncull(kw):
+    # Round-5 second-level refinement: a tiny SMEM budget forces the list
+    # super-tiles to coarsen far beyond the mask granularity, so the
+    # kernels re-compact their lists in-kernel against the per-tile
+    # bitmask (pallas_march.make_compact_refiner). Results must match the
+    # un-culled render exactly as the unrefined compact path does.
+    scene = _mixed_union_scene()
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.0, 1.6, 4.2), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(
+        rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True, bound_accel=True
+    )
+    cfg_off = dc.replace(cfg_on, leaf_cull=False)
+    r_on = make_pallas_image_render_aa(
+        spec, cfg_on, 256, 144, interpret=True, list_smem_budget=128, **kw
+    )
+    assert r_on.compact
+    assert r_on.compact_refined[0]  # in-kernel refinement engaged
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 256, 144, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    d = np.abs(a - b)
+    assert d.max() < 1e-3 and d.mean() < 1e-5, (d.max(), d.mean())
+
+
+def test_refined_lists_stream_scene_matches():
+    # Refinement must preserve ordered/stream fold order and sid boundaries
+    # (dropout via the mask is the same class as host compaction dropout).
+    scene = _cluster_scene()
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.0, 2.0, 7.0), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(
+        rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True, bound_accel=True
+    )
+    cfg_off = dc.replace(cfg_on, leaf_cull=False)
+    kw = dict(no_prepass=True, aa_packed=False)
+    r_on = make_pallas_image_render_aa(
+        spec, cfg_on, 192, 108, interpret=True, list_smem_budget=160, **kw
+    )
+    assert r_on.compact
+    assert r_on.compact_refined[0]
+    a = np.asarray(r_on(arrays, cv))
+    b = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_off, 192, 108, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    d = np.abs(a - b)
+    assert d.mean() < 1e-5, d.mean()
+    assert (d.max(axis=-1) > 5e-2).sum() == 0, d.max()
+    assert (d.max(axis=-1) > 1e-2).sum() < 10, (d.max(), d.mean())

@@ -310,3 +310,124 @@ class TestCullRender:
         )
         assert act < total, "no leaf was ever culled"
         assert act > 0, "every leaf culled everywhere"
+
+
+class TestPairwiseCertificate:
+    """Round-5 spatially gated blend inflation (culling._pairwise_path_ksum):
+    leaf bounds keep |k| only for path ops whose sibling subtree can
+    band-interact. Soundness is stress-checked against un-culled renders on
+    chain topologies with MIXED spacing — touching links (bands chain and
+    must be kept) and distant links (dropped)."""
+
+    def _render_pair(self, scene, seed_cam=(0.0, 2.2, 7.5), W=160, H=100):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
+
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cam = rm.Camera.looking_at(position=seed_cam, target=(0, 0, 0))
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        cfg_on = dc.replace(
+            rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True, bound_accel=True
+        )
+        cfg_off = dc.replace(cfg_on, leaf_cull=False)
+        kw = dict(no_prepass=True, aa_packed=False)
+        a = np.asarray(
+            make_pallas_image_render_aa(
+                spec, cfg_on, W, H, interpret=True, **kw
+            )(arrays, cv)
+        )
+        b = np.asarray(
+            make_pallas_image_render_aa(
+                spec, cfg_off, W, H, interpret=True, **kw
+            )(arrays, cv)
+        )
+        return a, b
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_mixed_spacing_chain_matches_uncull(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        # Chain of smooth unions: clusters of touching spheres (bands must
+        # chain) separated by larger gaps (bands must NOT couple).
+        x = -2.5
+        scene = rm.sphere(center=(x, 0.0, 0.0), radius=0.45)
+        for j in range(9):
+            if j % 3 == 2:
+                x += float(rng.uniform(1.8, 2.4))  # far link
+            else:
+                x += float(rng.uniform(0.75, 0.95))  # touching link
+            y = float(rng.uniform(-0.3, 0.5))
+            scene = scene.union(
+                rm.sphere(center=(x, y, 0.0), radius=0.45),
+                k=float(rng.uniform(0.15, 0.3)),
+            )
+        a, b = self._render_pair(scene)
+        d = np.abs(a - b)
+        assert d.mean() < 1e-5, d.mean()
+        assert (d.max(axis=-1) > 5e-2).sum() == 0, d.max()
+        assert (d.max(axis=-1) > 1e-2).sum() < 10, (d.max(), d.mean())
+
+    def test_touching_chain_keeps_band_ks(self):
+        # Fully touching chain: each leaf's NEIGHBOR bands overlap it, so
+        # the certificate must keep those ks (middle leaves ~3 ks: their
+        # own link + both adjacent links). A leaf's influence does NOT
+        # crawl along a neighbor's surface to farther links — outside a
+        # band the fold output equals the other operand exactly — so the
+        # full path sum is NOT required (that is the certificate's win;
+        # the render-level stress tests above pin its soundness).
+        import dataclasses as dc
+
+        from raymarch_tpu.ops import culling as cu
+
+        scene = rm.sphere(center=(0.0, 0.0, 0.0), radius=0.5)
+        for j in range(1, 6):
+            scene = scene.union(
+                rm.sphere(center=(j * 0.85, 0.0, 0.0), radius=0.5), k=0.3
+            )
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cfg = dc.replace(rm.DEFAULT_CONFIG, leaf_cull=True)
+        bounds = np.asarray(cu.leaf_bound_spheres(spec, arrays, cfg))
+        lp = np.asarray(arrays.leaf_params)
+        pushed = cu._pushed_rows(spec)
+        infl = bounds[pushed, 3] - np.abs(lp[pushed, 7])
+        # middle leaves: >= ~3 adjacent ks kept; ends: >= their own k
+        assert infl.max() > 0.8 * 3 * 0.3, infl
+        assert infl.min() > 0.3, infl
+
+    def test_separated_chain_drops_far_ks(self):
+        import dataclasses as dc
+
+        from raymarch_tpu.ops import culling as cu
+
+        scene = rm.sphere(center=(0.0, 0.0, 0.0), radius=0.4)
+        for j in range(1, 6):
+            scene = scene.union(
+                rm.sphere(center=(j * 4.0, 0.0, 0.0), radius=0.4), k=0.25
+            )
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cfg = dc.replace(rm.DEFAULT_CONFIG, leaf_cull=True)
+        bounds = np.asarray(cu.leaf_bound_spheres(spec, arrays, cfg))
+        lp = np.asarray(arrays.leaf_params)
+        pushed = cu._pushed_rows(spec)
+        infl = bounds[pushed, 3] - np.abs(lp[pushed, 7])
+        # widely separated links: every leaf keeps at most ~2 ks
+        assert infl.max() < 2.5 * 0.25 + 0.05, infl
+
+    def test_subtraction_sibling_interaction_kept(self):
+        # Smooth subtraction whose carving sphere overlaps the base: its k
+        # must stay in the base leaves' inflation (carve region near base).
+        import dataclasses as dc
+
+        scene = (
+            rm.sphere(center=(-0.4, 0.0, 0.0), radius=0.6)
+            | rm.sphere(center=(0.8, 0.0, 0.0), radius=0.5)
+        ).subtract(rm.sphere(center=(0.0, 0.4, 0.3), radius=0.35), k=0.2)
+        a, b = self._render_pair(scene, seed_cam=(0.0, 1.6, 4.5))
+        d = np.abs(a - b)
+        assert d.mean() < 1e-5 and (d.max(axis=-1) > 1e-2).sum() < 10

@@ -310,3 +310,67 @@ class TestSoftCompactPoseFit:
             cv = cv.at[3:7].set(q / jnp.maximum(jnp.linalg.norm(q), 1e-8))
         l1 = float(gfn(cv)[0])
         assert l1 < 0.3 * l0, (l0, l1)
+
+
+class TestSoftCullAlphaFloor:
+    def test_log_alpha_24_within_tolerance(self):
+        """cfg.soft_cull_log_alpha=24 bounds the DIRECTLY dropped coverage
+        alpha by exp(-24) ~ 4e-11; the residual difference vs the bitwise
+        (104) configuration is the sample-phase class (culling perturbs
+        step sizes, shifting the SAMPLED closest approach on grazing
+        rays). On this scene the bounds overlap little, so images and
+        gradients agree tightly; the config docstring documents the
+        edge-pixel behavior at scale."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+        rng = np.random.default_rng(19)
+        parts = [
+            rm.sphere(
+                center=tuple(rng.uniform(-1.5, 1.5, 3) * [1, 0.5, 1]),
+                radius=float(rng.uniform(0.25, 0.5)),
+            )
+            for _ in range(8)
+        ]
+        scene = parts[0]
+        for p in parts[1:]:
+            scene = scene | p
+        spec, arrays = rm.compile_scene(scene, static=True)
+        cam = rm.Camera.looking_at(position=(0.3, 1.8, 5.0), target=(0, 0, 0))
+        cv = jnp.asarray(
+            np.concatenate([cam.position, cam.rotation, [0.0]]).astype(
+                np.float32
+            )
+        )
+        outs = {}
+        for la in (104.0, 24.0):
+            cfg = dc.replace(
+                rm.DEFAULT_CONFIG,
+                aa_samples=2,
+                coverage_beta=0.02,
+                leaf_cull=True,
+                bound_accel=True,
+                soft_cull_log_alpha=la,
+            )
+            rv = make_fused_render_vjp(
+                spec, cfg, 48, 32, interpret=True, soft=True
+            )
+            img = np.asarray(rv(arrays, cv))
+
+            def loss(lp, c, rv=rv):
+                a = dc.replace(arrays, leaf_params=lp)
+                return jnp.sum(rv(a, c) ** 2)
+
+            g = np.asarray(
+                jax.grad(loss)(jnp.asarray(arrays.leaf_params), cv)
+            )
+            outs[la] = (img, g)
+        d_img = np.abs(outs[104.0][0] - outs[24.0][0])
+        d_g = np.abs(outs[104.0][1] - outs[24.0][1])
+        gs = np.abs(outs[104.0][1]).max()
+        assert d_img.max() < 1e-6, d_img.max()
+        assert d_g.max() < 1e-6 * max(gs, 1.0), (d_g.max(), gs)
