@@ -931,9 +931,11 @@ def main():
                 dict(prepass_block=1, n_intervals=2, aa_packed=True),
             ),
         }.items():
+            # Per-band timing noise inflates max/mean (downward-biased
+            # efficiency): min-of-3 with enough frames per rep.
             times = bb.band_times(
                 rm, jax, jnp, sp, ar, cm, cg, bw, bh, 32,
-                frames=5, reps=2, **kw
+                frames=10, reps=3, **kw
             )
             contig = times.reshape(8, 4).sum(1)
             inter = times.reshape(4, 8).sum(0)

@@ -203,6 +203,18 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
     NLP = ((spec.n_leaves + 7) // 8) * 8  # sublane-padded accumulator rows
     NC = oc.LEAF_PARAM_WIDTH  # param cols accumulated per leaf
     OPP_PAD = max(8, ((spec.n_instr + 7) // 8) * 8)
+    # Packed accumulators: measured DEAD END. Packing the (NLP, 128)
+    # one-hot accumulator into a single native (8, 128) tile (leaf row r
+    # -> sublane r%8, lane (r//8)*16 + col) should cut vector work 8x per
+    # accumulate, but measured SLOWER on the chip (64-leaf fwd+bwd 31.3 ->
+    # 33.6 ms, cluster 45.6 -> 48.5): the per-item %8 // index scalar
+    # work and the denser lane masks cost more than the smaller tile
+    # saves (Mosaic evidently keeps the tall layout's row-masked adds
+    # cheap). Both layouts are implemented; flags stay False.
+    pack_lp = False
+    LP_ROWS = 8 if pack_lp else NLP
+    pack_opp = False
+    OPP_ROWS = 8 if pack_opp else OPP_PAD
     _TAPS = (
         (1.0, -1.0, -1.0),
         (-1.0, -1.0, 1.0),
@@ -574,35 +586,63 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
             wlist = [w0, w1, w2, w3]
 
             # --- one-hot accumulators -------------------------------------
-            lane = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 1)
-            rowi = jax.lax.broadcasted_iota(jnp.int32, (NLP, LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (LP_ROWS, LANES), 1)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (LP_ROWS, LANES), 0)
 
-            def accum_row(row, gp16):
-                acc = jnp.zeros((NLP, LANES), jnp.float32)
-                for c, g in enumerate(gp16):
-                    acc = acc + jnp.where(
-                        jnp.logical_and(rowi == row, lane == c), g, 0.0
-                    )
-                accv[:] += acc
+            if pack_lp:
+                def accum_row(row, gp16):
+                    blk16 = (row // 8) * 16
+                    r8 = row % 8
+                    acc = jnp.zeros((8, LANES), jnp.float32)
+                    for c, g in enumerate(gp16):
+                        acc = acc + jnp.where(
+                            jnp.logical_and(rowi == r8, lane == blk16 + c),
+                            g, 0.0,
+                        )
+                    accv[:] += acc
+            else:
+                def accum_row(row, gp16):
+                    acc = jnp.zeros((LP_ROWS, LANES), jnp.float32)
+                    for c, g in enumerate(gp16):
+                        acc = acc + jnp.where(
+                            jnp.logical_and(rowi == row, lane == c), g, 0.0
+                        )
+                    accv[:] += acc
 
             if has_ordered:
                 lane_o = jax.lax.broadcasted_iota(
-                    jnp.int32, (OPP_PAD, LANES), 1
+                    jnp.int32, (OPP_ROWS, LANES), 1
                 )
                 rowi_o = jax.lax.broadcasted_iota(
-                    jnp.int32, (OPP_PAD, LANES), 0
+                    jnp.int32, (OPP_ROWS, LANES), 0
                 )
 
-                def accum_k(ki, gk):
-                    # ki = packed kidx+1; 0 = hard item (no op param).
-                    acc_opp[:] += jnp.where(
-                        jnp.logical_and(
-                            jnp.logical_and(rowi_o == ki - 1, lane_o == 0),
-                            ki > 0,
-                        ),
-                        gk,
-                        0.0,
-                    )
+                if pack_opp:
+                    def accum_k(ki, gk):
+                        # ki = packed kidx+1; 0 = hard item (no op param).
+                        kk0 = ki - 1
+                        acc_opp[:] += jnp.where(
+                            jnp.logical_and(
+                                jnp.logical_and(
+                                    rowi_o == kk0 % 8, lane_o == kk0 // 8
+                                ),
+                                ki > 0,
+                            ),
+                            gk,
+                            0.0,
+                        )
+                else:
+                    def accum_k(ki, gk):
+                        acc_opp[:] += jnp.where(
+                            jnp.logical_and(
+                                jnp.logical_and(
+                                    rowi_o == ki - 1, lane_o == 0
+                                ),
+                                ki > 0,
+                            ),
+                            gk,
+                            0.0,
+                        )
 
             # --- ordered record + reverse sweep ---------------------------
             def rec_free(gi, base, acc, pt):
@@ -1115,8 +1155,8 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
             memory_space=pltpu.VMEM,
         )
         scratch = [
-            pltpu.VMEM((NLP, LANES), jnp.float32),
-            pltpu.VMEM((OPP_PAD, LANES), jnp.float32),
+            pltpu.VMEM((LP_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((OPP_ROWS, LANES), jnp.float32),
             pltpu.SMEM((7,), jnp.float32),
         ]
         if has_ordered:
@@ -1127,11 +1167,11 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
             in_specs=[th_spec] * n_res + [px_spec, px_spec, px_spec],
             out_specs=[
                 pl.BlockSpec(
-                    (NLP, LANES), lambda ty, tx, *_: (0, 0),
+                    (LP_ROWS, LANES), lambda ty, tx, *_: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (OPP_PAD, LANES), lambda ty, tx, *_: (0, 0),
+                    (OPP_ROWS, LANES), lambda ty, tx, *_: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1142,8 +1182,8 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
             bwd_kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((NLP, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((OPP_PAD, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((LP_ROWS, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((OPP_ROWS, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((7,), jnp.float32),
             ],
             interpret=interpret,
@@ -1158,8 +1198,20 @@ def _make_compact_bwd(spec, cfg, width, height, rows_out, plan, MHL, CWL,
             gg,
             gb,
         )
-        d_lp = gleaf[: spec.n_leaves, : oc.LEAF_PARAM_WIDTH]
-        d_opp = gopp[: spec.n_instr, 0]
+        if pack_lp:
+            # leaf row r lives at (sublane r%8, lane (r//8)*16 + col)
+            d_lp = (
+                gleaf.reshape(8, 8, 16)
+                .transpose(1, 0, 2)
+                .reshape(64, 16)[: spec.n_leaves, : oc.LEAF_PARAM_WIDTH]
+            )
+        else:
+            d_lp = gleaf[: spec.n_leaves, : oc.LEAF_PARAM_WIDTH]
+        if pack_opp:
+            # instr i lives at (sublane i%8, lane i//8)
+            d_opp = gopp.T.reshape(-1)[: spec.n_instr]
+        else:
+            d_opp = gopp[: spec.n_instr, 0]
         return d_lp, d_opp, gcam
 
     return run
