@@ -283,6 +283,33 @@ def main():
         prepass_block=1, aa_packed=True,
     )
 
+    # Band-offset gate: the 4K rows render through band_rows kernels whose
+    # first image row arrives at runtime via cam_vec[7] — gate that exact
+    # configuration by rendering the middle band of the gate frame and
+    # comparing it against the full-frame oracle's crop.
+    spec_bg, arrays_bg = rm.compile_scene(scene, static=True)
+    rnd_bg = make_pallas_image_render_aa(
+        spec_bg, cfg_ir, PW, PH, band_rows=48,
+        prepass_block=1, n_intervals=2, aa_packed=True,
+    )
+    pcv_band = jnp.asarray(
+        np.concatenate([pcam.position, pcam.rotation, [48.0]]).astype(
+            np.float32
+        )
+    )
+    img_band = np.asarray(jax.jit(rnd_bg)(arrays_bg, pcv_band))
+    ref_band = _oracle_img(scene, pcam)[48:96]
+    d_b = np.abs(img_band - ref_band)
+    nd_b = _neigh_diff(img_band, ref_band)
+    frac_b = float((nd_b > 0.01).mean())
+    ok_b = d_b.mean() < 5e-4 and frac_b < 0.008
+    print(
+        f"parity[band-offset]: {'PASS' if ok_b else 'FAIL'} "
+        f"mean={d_b.mean():.2e} max={d_b.max():.2e} frac_n>1e-2={frac_b:.4f}",
+        file=sys.stderr,
+    )
+    assert ok_b, "on-device parity FAIL for path 'band-offset'"
+
     # --- headline: cone-prepass fused renderer, static tape -----------------
     spec_s, arrays_s = rm.compile_scene(scene, static=True)
 
