@@ -690,3 +690,75 @@ def test_refined_lists_stream_scene_matches():
     assert d.mean() < 1e-5, d.mean()
     assert (d.max(axis=-1) > 5e-2).sum() == 0, d.max()
     assert (d.max(axis=-1) > 1e-2).sum() < 10, (d.max(), d.mean())
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_random_mixed_topology_fuzz_vs_uncull(seed):
+    """Randomized topology fuzz: random mixes of hard/smooth unions,
+    subtractions, intersections, round/onion over random primitives must
+    render identically (tolerance class) with the full cull/compact/
+    certificate/refinement machinery on vs everything off. Broad insurance
+    behind the targeted regression tests."""
+    rng = np.random.default_rng(seed)
+
+    def prim():
+        c = tuple(rng.uniform(-2.0, 2.0, 3) * [1, 0.6, 1])
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            return rm.sphere(center=c, radius=float(rng.uniform(0.2, 0.5)))
+        if kind == 1:
+            return rm.box(
+                center=c, half_extents=tuple(rng.uniform(0.15, 0.4, 3))
+            )
+        if kind == 2:
+            return rm.torus(
+                center=c,
+                major_radius=float(rng.uniform(0.3, 0.5)),
+                minor_radius=float(rng.uniform(0.1, 0.2)),
+            )
+        return rm.capsule(
+            center=c,
+            radius=float(rng.uniform(0.12, 0.25)),
+            half_height=float(rng.uniform(0.2, 0.4)),
+        )
+
+    scene = prim()
+    for _ in range(int(rng.integers(6, 12))):
+        p = prim()
+        op = rng.integers(0, 6)
+        k = float(rng.uniform(0.08, 0.25))
+        if op == 0:
+            scene = scene | p
+        elif op == 1:
+            scene = scene.union(p, k=k)
+        elif op == 2:
+            scene = scene - p
+        elif op == 3:
+            scene = scene.subtract(p, k=k)
+        elif op == 4:
+            scene = scene & p
+        else:
+            scene = scene | p.round(float(rng.uniform(0.02, 0.08)))
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.3, 1.8, 5.5), target=(0, 0, 0))
+    cv = _cam_vec(cam)
+    cfg_on = dc.replace(
+        rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=True, bound_accel=True,
+        exit_check_every=4,
+    )
+    cfg_off = dc.replace(cfg_on, leaf_cull=False, bound_accel=False)
+    kw = dict(no_prepass=True, aa_packed=False)
+    a = np.asarray(
+        make_pallas_image_render_aa(spec, cfg_on, 160, 96, interpret=True, **kw)(
+            arrays, cv
+        )
+    )
+    b = np.asarray(
+        make_pallas_image_render_aa(
+            spec, cfg_off, 160, 96, interpret=True, **kw
+        )(arrays, cv)
+    )
+    d = np.abs(a - b)
+    assert d.mean() < 2e-5, (d.mean(), d.max())
+    assert (d.max(axis=-1) > 5e-2).sum() == 0, d.max()
+    assert (d.max(axis=-1) > 1e-2).sum() < 12, (d.max(), d.mean())

@@ -744,3 +744,63 @@ class TestSoftCompactBackward:
         np.testing.assert_allclose(
             gc_c[:7], gc_l[:7], rtol=2e-3, atol=2e-3 * cs
         )
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_random_mixed_scene_backward_fuzz(seed):
+    """Randomized backward fuzz: a random hard/smooth mix that lands on the
+    compact backward must match the legacy unrolled backward's gradients."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from raymarch_tpu.ops.pallas_grad import make_fused_render_vjp
+
+    rng = np.random.default_rng(seed)
+    parts = [
+        rm.sphere(
+            center=tuple(rng.uniform(-1.5, 1.5, 3) * [1, 0.5, 1]),
+            radius=float(rng.uniform(0.25, 0.5)),
+        )
+        for _ in range(5)
+    ]
+    scene = parts[0]
+    for p in parts[1:]:
+        scene = scene | p
+    for _ in range(int(rng.integers(2, 5))):
+        c = tuple(rng.uniform(-1.2, 1.2, 3) * [1, 0.5, 1])
+        p = rm.sphere(center=c, radius=float(rng.uniform(0.2, 0.4)))
+        if rng.integers(0, 2):
+            scene = scene.union(p, k=float(rng.uniform(0.1, 0.25)))
+        else:
+            scene = scene.subtract(p, k=float(rng.uniform(0.1, 0.2)))
+    spec, arrays = rm.compile_scene(scene, static=True)
+    cam = rm.Camera.looking_at(position=(0.3, 1.8, 5.0), target=(0, 0, 0))
+    cv = jnp.asarray(
+        np.concatenate([cam.position, cam.rotation, [0.0]]).astype(np.float32)
+    )
+    grads = {}
+    for cull in (True, False):
+        cfg = dc.replace(rm.DEFAULT_CONFIG, aa_samples=2, leaf_cull=cull)
+        rv = make_fused_render_vjp(
+            spec, cfg, 48, 32, interpret=True, prepass_block=1
+        )
+        if cull:
+            assert rv.compact_bwd, rv.backward_info
+
+        def loss(lp, opp, c, rv=rv):
+            a = dc.replace(arrays, leaf_params=lp, op_param=opp)
+            return jnp.sum(rv(a, c) ** 2)
+
+        grads[cull] = tuple(
+            np.asarray(x)
+            for x in jax.grad(loss, argnums=(0, 1, 2))(
+                jnp.asarray(arrays.leaf_params),
+                jnp.asarray(arrays.op_param),
+                cv,
+            )
+        )
+    for a, b in zip(grads[True], grads[False]):
+        s = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3 * max(s, 1e-9))
