@@ -22,6 +22,12 @@ K = 4
 
 def band_times(rm, jax, jnp, spec, arrays, cam, cfg, W, H, n_bands,
                frames=10, reps=3, **kw):
+    """Per-band best-of-`reps` frame times, measured in INTERLEAVED rounds
+    (every band once per round, min across time-separated rounds): slow
+    drift across a long measurement sequence (sustained-load thermals,
+    tunnel interference) then hits all bands alike instead of biasing the
+    later ones — a band-ordered sweep made contiguous-assignment skew
+    look up to 2x worse than interleaved on identical code."""
     from raymarch_tpu.ops.pallas_prepass import make_pallas_image_render_aa
 
     band_rows = -(-H // n_bands)
@@ -29,25 +35,27 @@ def band_times(rm, jax, jnp, spec, arrays, cam, cfg, W, H, n_bands,
         spec, cfg, W, H, band_rows=band_rows, **kw
     )
     f = jax.jit(lambda a, c: jnp.sum(rnd(a, c)))
-    times = []
-    for b in range(n_bands):
-        cv = jnp.asarray(
+    cvs = [
+        jnp.asarray(
             np.concatenate(
                 [cam.position, cam.rotation, [float(b * band_rows)]]
             ).astype(np.float32)
         )
+        for b in range(n_bands)
+    ]
+    for cv in cvs:
         for _ in range(2):
             float(np.asarray(f(arrays, cv)))  # warmup + sync
-        best = float("inf")
-        for _ in range(reps):
+    best = [float("inf")] * n_bands
+    for _ in range(reps):
+        for b in range(n_bands):
             t0 = time.perf_counter()
             out = None
             for _ in range(frames):
-                out = f(arrays, cv)
+                out = f(arrays, cvs[b])
             float(np.asarray(out))
-            best = min(best, (time.perf_counter() - t0) / frames)
-        times.append(best)
-    return np.asarray(times)
+            best[b] = min(best[b], (time.perf_counter() - t0) / frames)
+    return np.asarray(best)
 
 
 def report(name, times, n_dev, k):
